@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-pinned readers over the driver parquet fixtures
+  * (/root/repo/TESTDATA.md). Parquet carries the authoritative schema;
+  * these helpers centralize path layout so every operator reads the same way
+  * and Catalyst can push filters/pruning into the scan.
+  *
+  * Reference analogue: the line-oriented text scan + naive CSV split at
+  * /root/reference/src/LDATopicModelingWithGibbs.py:28-31 (S1/S2 in
+  * SURVEY.md §2.1); a real parquet/CSV reader subsumes both.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** CSV reader with an explicit schema — never infer in production paths
+    * (SURVEY.md §1.3). Quote-aware: fixes the reference's naive split(',')
+    * (LDATopicModelingWithGibbs.py:31) which breaks on text containing commas.
+    */
+  def csv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .schema(schema)
+      .csv(path)
+}
