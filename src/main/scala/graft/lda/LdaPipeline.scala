@@ -1,0 +1,80 @@
+package graft.lda
+
+import org.apache.spark.ml.clustering.LDA
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.Cleaning
+
+/** The reference's flagship pipeline, Spark-native (SURVEY.md §7.3, M1–M5):
+  * documents → clean → tokenize → stopword-filter → CountVectorizer(top-V
+  * vocabulary) → MLlib LDA(T topics, α=β=1/T, maxIter) → top-20 words/topic.
+  *
+  * Reference: /root/reference/src/LDATopicModelingWithGibbs.py:28-203 — the
+  * reference tokenizes (py:34), stopword-filters (py:36-41), builds a top-V
+  * vocabulary (py:43-68), encodes docs (py:70-90), then collects EVERYTHING to
+  * the driver and runs a sequential NumPy Gibbs sampler (py:151-188). We keep
+  * model state distributed: CountVectorizer owns the vocabulary (the top-V +
+  * inner-join-filter of py:50-78 in one estimator), and MLlib LDA's online
+  * variational optimizer fits θ/Φ on executors — no whole-corpus collect.
+  *
+  * Scale posture (100 TB): every stage is a narrow map or a partial+final
+  * aggregate; the only driver-side state is the V-entry vocabulary array
+  * (bounded by the V parameter, same as the reference's broadcast dictionary)
+  * and the T×V topic matrix (bounded by hyperparameters, not data size).
+  */
+object LdaPipeline {
+
+  /** Tokenize + stopword-filter, the reference's preprocessing (py:34-41).
+    * Input must have a `text` column; output adds `tokens` (filtered). */
+  def preprocess(df: DataFrame): DataFrame = {
+    val tok = new RegexTokenizer()
+      .setInputCol("text_clean").setOutputCol("raw_tokens")
+      .setPattern("\\s+") // split on whitespace, like the reference's split(' ')
+      .setToLowercase(true)
+    val sw = new StopWordsRemover()
+      .setInputCol("raw_tokens").setOutputCol("tokens")
+      .setStopWords(StopWordsRemover.loadDefaultStopWords("english") ++
+        Cleaning.ExtraStopWords)
+    val cleaned = df.withColumn("text_clean", Cleaning.cleanText(col("text")))
+    sw.transform(tok.transform(cleaned))
+      .filter(size(col("tokens")) > 0) // docs with no surviving tokens vanish,
+      // matching the reference's inner-join corpus shrink (py:75,93; SURVEY §7.5.2)
+  }
+
+  /** Fit CountVectorizer(top-V vocab) + LDA on the `documents` fixture and
+    * return the reference's output contract (py:199-203): one row per topic,
+    * `topic INT, terms ARRAY<STRING>, weights ARRAY<DOUBLE>` for the top-20
+    * words per topic. */
+  def topicReport(spark: SparkSession, dir: String, vocabSize: Int,
+      numTopics: Int, maxIter: Int, topWords: Int = 20, seed: Long = 42L): DataFrame = {
+    val docs = preprocess(Tables.documents(spark, dir)).persist()
+    val cvModel: CountVectorizerModel = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setVocabSize(vocabSize)
+      .fit(docs)
+    val encoded = cvModel.transform(docs)
+      .filter(col("features").isNotNull)
+    val lda = new LDA()
+      .setK(numTopics)
+      .setMaxIter(maxIter)
+      .setSeed(seed)
+      // α = β = 1/T — the reference's coupling (py:98-100; SURVEY §7.5.6)
+      .setDocConcentration(1.0 / numTopics)
+      .setTopicConcentration(1.0 / numTopics)
+      .setFeaturesCol("features")
+    val model = lda.fit(encoded)
+    docs.unpersist()
+    // describeTopics = the reference's driver-side argsort top-20 (py:196-203),
+    // resolved against the vocabulary (J2's driver-side lookup, py:192-194).
+    val vocab = cvModel.vocabulary
+    val vocabCol = array(vocab.map(lit): _*)
+    model.describeTopics(topWords)
+      .select(col("topic"),
+        transform(col("termIndices"), i => element_at(vocabCol, i + 1)).as("terms"),
+        col("termWeights").as("weights"))
+      .orderBy(col("topic"))
+  }
+}
