@@ -15,7 +15,7 @@ object Smoke {
     val t0 = System.nanoTime()
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
-    println(s"[smoke] entry() rows=${rows.length} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(f"[smoke] entry() rows=${rows.length} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     rows.take(5).foreach(r => println(s"[smoke] $r"))
     require(rows.nonEmpty, "entry() returned 0 rows")
     spark.stop()

@@ -23,8 +23,18 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** Rounding used on every aggregated double, mirrored in each oracle. */
+  /** Rounding used on aggregated doubles far from rounding boundaries
+    * (avgs), mirrored in each oracle. */
   private def r2(c: Column): Column = round(c, 2)
+
+  /** Money arithmetic goes through exact decimals (fixture money columns are
+    * 2-decimal values stored as double): cast to DECIMAL(18,4) so sums and
+    * products are exact and engine-order-independent, then cast the final
+    * value to DOUBLE (correctly-rounded, identical in Spark and DuckDB).
+    * Never round(double, 2) a computed sum — Spark rounds ties HALF_UP and
+    * DuckDB HALF_EVEN, and double summation is partition-order-dependent. */
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+  private def asMoney(c: Column): Column = c.cast("double")
 
   val queries: Seq[Q] = Seq(
     // ---- A1/A4: grouped hash aggregation with map-side combine (TPC-H Q1 shape).
@@ -35,18 +45,20 @@ object Relational {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            r2(sum(col("l_quantity"))).as("sum_qty"),
-            r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-            r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+            asMoney(sum(dec4(col("l_quantity")))).as("sum_qty"),
+            asMoney(sum(dec4(col("l_extendedprice")))).as("sum_base_price"),
+            asMoney(sum(dec4(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))).as("sum_disc_price"),
             r2(avg(col("l_quantity"))).as("avg_qty"),
             r2(avg(col("l_discount"))).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
              |  round(avg(l_quantity), 2) AS avg_qty,
              |  round(avg(l_discount), 2) AS avg_disc,
              |  count(*) AS count_order
@@ -65,33 +77,41 @@ object Relational {
             col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
             col("l_discount") >= 0.05 && col("l_quantity") < 24)
           .select(col("l_orderkey"), col("l_linenumber"),
-            r2(col("l_extendedprice") * col("l_discount")).as("disc_amount"))
+            asMoney(dec4(col("l_extendedprice")) * dec4(col("l_discount"))).as("disc_amount"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
-             |  round(l_extendedprice * l_discount, 2) AS disc_amount
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DOUBLE) AS disc_amount
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
              |  AND l_discount >= 0.05 AND l_quantity < 24
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
-    // ---- J1: 3-way equi join; dims broadcast so the fact table never shuffles.
+    // ---- J1: 3-way equi join. Both lineitem and orders are fact tables that
+    // scale with sf, so they join as a shuffle/sort-merge join on orderkey
+    // (co-partitionable; at 100 TB neither side may be broadcast — a
+    // fact-side broadcast OOMs every executor). customer also scales with sf;
+    // no hint, so AQE picks broadcast only when the built side is actually
+    // small at runtime. Only bounded dims (nation/region, ≤25 rows at any sf)
+    // ever get an explicit broadcast() in this file.
     Q(
       "rel_join_revenue",
       (s, dir) => {
         val c = Tables.customer(s, dir)
         val o = Tables.orders(s, dir)
         val l = Tables.lineitem(s, dir)
-        l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+            asMoney(sum(dec4(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -106,12 +126,12 @@ object Relational {
       (s, dir) => {
         Tables.lineitem(s, dir)
           .groupBy(col("l_partkey"))
-          .agg(r2(sum(col("l_extendedprice"))).as("part_revenue"),
+          .agg(asMoney(sum(dec4(col("l_extendedprice")))).as("part_revenue"),
             count(lit(1)).as("n"))
           .orderBy(desc("part_revenue"), asc("l_partkey"))
           .limit(10)
       },
-      Some("""SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_revenue,
+      Some("""SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_revenue,
              |  count(*) AS n
              |FROM lineitem
              |GROUP BY l_partkey
@@ -148,10 +168,11 @@ object Relational {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("c_nationkey"), col("rk"), col("c_custkey"),
-            r2(col("c_acctbal")).as("acctbal"))
+            asMoney(col("c_acctbal").cast("decimal(18,2)")).as("acctbal"))
           .orderBy(col("c_nationkey"), col("rk"))
       },
-      Some("""SELECT c_nationkey, rk, c_custkey, round(c_acctbal, 2) AS acctbal
+      Some("""SELECT c_nationkey, rk, c_custkey,
+             |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
              |FROM (
              |  SELECT c_nationkey, c_custkey, c_acctbal,
              |    row_number() OVER (PARTITION BY c_nationkey
@@ -170,13 +191,13 @@ object Relational {
         Tables.orders(s, dir)
           .filter(col("o_custkey") < 100)
           .select(col("o_custkey"), col("o_orderkey"),
-            r2(sum(col("o_totalprice")).over(w)).as("running_spend"))
+            asMoney(sum(dec4(col("o_totalprice"))).over(w)).as("running_spend"))
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
              |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
              |FROM orders
              |WHERE o_custkey < 100
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
@@ -208,13 +229,13 @@ object Relational {
         Tables.customer(s, dir)
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .rollup(col("n_name"))
-          .agg(r2(sum(col("c_acctbal"))).as("total_bal"), count(lit(1)).as("n_cust"))
+          .agg(asMoney(sum(dec4(col("c_acctbal")))).as("total_bal"), count(lit(1)).as("n_cust"))
           .select(coalesce(col("n_name"), lit("(all)")).as("n_name"),
             col("total_bal"), col("n_cust"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT coalesce(n_name, '(all)') AS n_name,
-             |  round(sum(c_acctbal), 2) AS total_bal,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
              |  count(*) AS n_cust
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY ROLLUP (n_name)
@@ -240,11 +261,15 @@ object Relational {
              |GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 
-    // ---- §2.10 anti join (NOT EXISTS): customers with no orders at all.
+    // ---- §2.10 anti join (NOT EXISTS): customers with no completed ('F')
+    // order. (Every fixture customer has *some* order, so the unfiltered
+    // anti join would be vacuously empty — filter first so real rows flow.)
     Q(
       "rel_anti_join",
       (s, dir) => {
-        val o = Tables.orders(s, dir).select(col("o_custkey"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
         Tables.customer(s, dir)
           .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_nationkey"))
@@ -252,7 +277,8 @@ object Relational {
       },
       Some("""SELECT c_custkey, c_nationkey
              |FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
     // ---- A2: collect_list with deterministic order (SURVEY §7.5.1 — the
@@ -307,11 +333,13 @@ object Relational {
       (s, dir) => {
         Tables.orders(s, dir)
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-          .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+          .agg(count(lit(1)).as("n"),
+            asMoney(sum(dec4(col("o_totalprice")))).as("total"))
           .orderBy(col("month"))
       },
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
              |FROM orders
              |GROUP BY 1 ORDER BY month""".stripMargin)),
 
@@ -320,25 +348,27 @@ object Relational {
     Q(
       "rel_cached_reuse",
       (s, dir) => {
+        // Persist the shared scan only; no eager action — the query stays
+        // lazy so it executes exactly once when the caller acts on it, and
+        // the small filtered projection is left to context teardown
+        // (unpersisting here would drop the blocks before they're reused).
         val base = Tables.lineitem(s, dir)
           .filter(col("l_quantity") > 10)
           .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
           .persist()
         val byFlag = base.groupBy(col("l_returnflag"))
-          .agg(r2(sum(col("l_quantity"))).as("qty"))
-        val global = base.agg(r2(sum(col("l_extendedprice"))).as("price_total"))
-        val out = byFlag.crossJoin(global).orderBy(col("l_returnflag"))
-        out.cache().count() // force materialization before unpersisting input
-        base.unpersist()
-        out
+          .agg(asMoney(sum(dec4(col("l_quantity")))).as("qty"))
+        val global = base.agg(asMoney(sum(dec4(col("l_extendedprice")))).as("price_total"))
+        byFlag.crossJoin(global).orderBy(col("l_returnflag"))
       },
       Some("""WITH base AS (
              |  SELECT l_returnflag, l_quantity, l_extendedprice
              |  FROM lineitem WHERE l_quantity > 10)
              |SELECT b.l_returnflag, b.qty, g.price_total
-             |FROM (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty
+             |FROM (SELECT l_returnflag,
+             |        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
              |      FROM base GROUP BY l_returnflag) b
-             |CROSS JOIN (SELECT round(sum(l_extendedprice), 2) AS price_total
+             |CROSS JOIN (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price_total
              |            FROM base) g
              |ORDER BY l_returnflag""".stripMargin))
   )
