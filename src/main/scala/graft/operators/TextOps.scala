@@ -1,8 +1,291 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Q
+import graft.sources.Tables
+import graft.functions.Cleaning
 
-/** Text cleaning + analysis surface (SURVEY.md §2.3). Filled in this round. */
+/** The text-processing surface over the `documents` fixture: the reference's
+  * preprocessing DAG (clean → tokenize → stopword-filter → word count → top-V
+  * vocabulary → doc-term encoding, /root/reference/src/LDATopicModelingWithGibbs.py:28-90
+  * and ExtractTwitterData.py:122-164) plus the LLM-pipeline text-analysis
+  * operators (quality scoring, language ID, token counting, fingerprinting).
+  *
+  * Every query is declarative DataFrame API (no UDFs — regex/array built-ins
+  * are codegen'd) with a DuckDB oracle. Cross-engine determinism rules:
+  *  - ratios are emitted as basis-point integers via floor-division (exact on
+  *    both engines; double division of small ints never lands within 1 ulp of
+  *    an integer, so floor() agrees with DuckDB's integer //)
+  *  - fingerprints use md5 (bit-identical in Spark and DuckDB)
+  *  - the vocabulary tiebreak is (count DESC, word ASC) — deterministic,
+  *    unlike the reference's arbitrary-tie top() (SURVEY §7.5.1)
+  *
+  * Scale posture: tokenize/clean are narrow per-row projections fused into
+  * the scan; word count is a partial+final hash aggregate; the vocab join
+  * broadcasts only the bounded top-V side; no driver-side state anywhere.
+  */
 object TextOps {
-  val queries: Seq[Q] = Seq.empty
+
+  /** Vendored stopword list used by the oracle-checked queries (the LDA
+    * pipeline uses Spark's full english list; this bounded list is mirrored
+    * verbatim into the DuckDB oracles). Reference analogue: the custom
+    * stopword set at LDATopicModelingWithGibbs.py:36-41. */
+  val StopWords: Seq[String] =
+    Seq("a", "the", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  private val swSqlList = StopWords.map(w => s"'$w'").mkString(", ")
+  private val swArray: Column = array(StopWords.map(lit): _*)
+
+  /** Clean + whitespace-tokenize + stopword/empty filter, as one Column over
+    * `text` (P1/P2). */
+  private def tokensCol: Column =
+    filter(split(Cleaning.cleanText(col("text")), " "),
+      t => !array_contains(swArray, t) && t =!= "")
+
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), tokensCol.as("w"))
+
+  /** doc_id, word — the exploded token stream (E2). */
+  private def tokenStream(s: SparkSession, dir: String): DataFrame =
+    docsWithTokens(s, dir).select(col("doc_id"), explode(col("w")).as("word"))
+
+  /** Shared oracle CTE: cleaned text per doc. The emoji-token pass (F1) is
+    * whitespace-collapse on pure-ASCII fixture text, so the SQL mirror uses
+    * the collapse; the Scala side keeps exact drop-the-token semantics
+    * (unit-tested separately on emoji-bearing strings). */
+  private val cleanSql: String =
+    """lower(trim(regexp_replace(
+      |  regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+      |      'http\S+', '', 'g'), '@\w+', '', 'g'),
+      |    '(?i)\bcovid-19\b', '', 'g'), '(?i)\bcovid19\b', '', 'g'),
+      |    '(?i)\bcovid_19\b', '', 'g'), '(?i)\bcovid\b', '', 'g'),
+      |  '[^A-Za-z ]+', '', 'g')))""".stripMargin
+
+  private val tokSql: String =
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, $cleanSql AS clean FROM documents),
+       |tok AS (
+       |  SELECT doc_id, word
+       |  FROM cleaned, unnest(string_split(clean, ' ')) AS u(word)
+       |  WHERE word <> '' AND word NOT IN ($swSqlList))""".stripMargin
+
+  private val vocabSqlCte: String = // requires tokSql's `tok`
+    """wc AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+      |vocab AS (
+      |  SELECT word, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, word ASC) - 1 AS pos
+      |  FROM wc ORDER BY cnt DESC, word ASC LIMIT 100)""".stripMargin
+
+  /** Top-V vocabulary with deterministic (count DESC, word ASC) tiebreak
+    * (T1 + SURVEY §7.5.1); pos 0..V-1. V=100 bounds the result, so the
+    * single-partition row_number window is driver-cheap at any sf. */
+  private def vocab(s: SparkSession, dir: String, v: Int = 100): DataFrame = {
+    val wc = tokenStream(s, dir).groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), asc("word"))
+    wc.orderBy(desc("cnt"), asc("word")).limit(v)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ---- F1–F7: the composed cleaning chain (ExtractTwitterData.py:158-164).
+    Q(
+      "text_clean",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Cleaning.cleanText(col("text")).as("clean"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, $cleanSql AS clean
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- P1/P2/E2: tokenize + stopword filter + word-with-doc explode.
+    Q(
+      "text_tokens",
+      (s, dir) => tokenStream(s, dir).orderBy(col("doc_id"), col("word")),
+      Some(s"""$tokSql
+              |SELECT doc_id, word FROM tok ORDER BY doc_id, word""".stripMargin)),
+
+    // ---- E1/A1: word count — partial+final hash agg, the reference's
+    // reduceByKey(add) (py:43-48).
+    Q(
+      "text_wordcount",
+      (s, dir) => tokenStream(s, dir)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word")),
+      Some(s"""$tokSql
+              |SELECT word, count(*) AS cnt FROM tok
+              |GROUP BY word ORDER BY cnt DESC, word ASC""".stripMargin),
+      headline = true),
+
+    // ---- T1: top-V vocabulary with positions (py:50-68).
+    Q(
+      "text_vocab",
+      (s, dir) => vocab(s, dir).orderBy(col("pos")),
+      Some(s"""$tokSql, $vocabSqlCte
+              |SELECT word, cnt, pos FROM vocab ORDER BY pos""".stripMargin)),
+
+    // ---- J1/A2: doc-term encoding — tokens ⋈ broadcast(vocab) → per-doc
+    // sorted position list (py:70-90). Docs with zero in-vocab words drop out
+    // (inner-join corpus shrink, SURVEY §7.5.2).
+    Q(
+      "text_doc_term",
+      (s, dir) => tokenStream(s, dir)
+        .join(broadcast(vocab(s, dir).select(col("word"), col("pos"))), "word")
+        .groupBy(col("doc_id"))
+        .agg(array_join(sort_array(collect_list(col("pos"))), ",").as("positions"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("doc_id")),
+      Some(s"""$tokSql, $vocabSqlCte
+              |SELECT doc_id,
+              |  array_to_string(list(pos ORDER BY pos), ',') AS positions,
+              |  count(*) AS n_terms
+              |FROM tok JOIN vocab USING (word)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    // ---- J1 variant: per-doc in-vocab vs out-of-vocab accounting — makes
+    // the corpus-shrink semantics of the inner join observable.
+    Q(
+      "text_vocab_coverage",
+      (s, dir) => {
+        val v = vocab(s, dir).select(col("word"), col("pos"))
+        tokenStream(s, dir)
+          .join(broadcast(v), Seq("word"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(col("pos")).as("n_invocab"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$tokSql, $vocabSqlCte
+              |SELECT doc_id, count(*) AS n_tokens, count(pos) AS n_invocab
+              |FROM tok LEFT JOIN vocab USING (word)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Quality scoring: per-doc token stats with ratios as exact
+    // basis-point integers (floor-div — see object doc).
+    Q(
+      "text_quality",
+      (s, dir) => {
+        val all = split(Cleaning.cleanText(col("text")), " ")
+        val nAll = size(filter(all, t => t =!= "")).cast("long")
+        val nStop = size(filter(all, t => array_contains(swArray, t))).cast("long")
+        val totLen = aggregate(filter(all, t => t =!= ""),
+          lit(0L), (acc, t) => acc + length(t)).cast("long")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          col("n_chars"),
+          nAll.as("n_tokens"),
+          nStop.as("n_stop"),
+          when(nAll > 0, floor(lit(10000) * nStop / nAll)).otherwise(0L)
+            .cast("long").as("stop_bp"),
+          when(nAll > 0, floor(lit(100) * totLen / nAll)).otherwise(0L)
+            .cast("long").as("avg_len_c"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cleaned AS (
+              |  SELECT doc_id, n_chars, $cleanSql AS clean FROM documents),
+              |stats AS (
+              |  SELECT doc_id, n_chars,
+              |    len(list_filter(string_split(clean, ' '), t -> t <> '')) AS n_tokens,
+              |    len(list_filter(string_split(clean, ' '),
+              |        t -> t IN ($swSqlList))) AS n_stop,
+              |    list_sum(list_transform(list_filter(string_split(clean, ' '),
+              |        t -> t <> ''), t -> len(t))) AS tot_len
+              |  FROM cleaned)
+              |SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(n_stop AS BIGINT) AS n_stop,
+              |  CAST(CASE WHEN n_tokens > 0 THEN (10000 * n_stop) // n_tokens
+              |       ELSE 0 END AS BIGINT) AS stop_bp,
+              |  CAST(CASE WHEN n_tokens > 0 THEN (100 * tot_len) // n_tokens
+              |       ELSE 0 END AS BIGINT) AS avg_len_c
+              |FROM stats ORDER BY doc_id""".stripMargin)),
+
+    // ---- Language ID: marker-word heuristic (english function-word density
+    // in basis points; the fixture corpus is english-ish for every `lang`
+    // label, so the interesting output is the score, not label recovery).
+    Q(
+      "text_langid",
+      (s, dir) => {
+        val all = filter(split(Cleaning.cleanText(col("text")), " "), t => t =!= "")
+        val nAll = size(all).cast("long")
+        val nEn = size(filter(all, t => array_contains(swArray, t))).cast("long")
+        val bp = when(nAll > 0, floor(lit(10000) * nEn / nAll)).otherwise(0L).cast("long")
+        Tables.documents(s, dir).select(
+          col("doc_id"), col("lang").as("lang_label"),
+          bp.as("en_marker_bp"),
+          when(bp >= 400, lit("en")).otherwise(lit("und")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cleaned AS (
+              |  SELECT doc_id, lang, $cleanSql AS clean FROM documents),
+              |stats AS (
+              |  SELECT doc_id, lang,
+              |    len(list_filter(string_split(clean, ' '), t -> t <> '')) AS n_all,
+              |    len(list_filter(string_split(clean, ' '),
+              |        t -> t IN ($swSqlList))) AS n_en
+              |  FROM cleaned)
+              |SELECT doc_id, lang AS lang_label,
+              |  CAST(CASE WHEN n_all > 0 THEN (10000 * n_en) // n_all ELSE 0 END
+              |    AS BIGINT) AS en_marker_bp,
+              |  CASE WHEN n_all > 0 AND (10000 * n_en) // n_all >= 400
+              |    THEN 'en' ELSE 'und' END AS lang_pred
+              |FROM stats ORDER BY doc_id""".stripMargin)),
+
+    // ---- Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single other chars).
+    Q(
+      "text_token_count",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
+          .as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+             |    t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |    AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Fingerprinting: whole-doc md5 + MinHash-1 over word 3-gram
+    // shingles (md5 is bit-identical across engines; min() over shingle
+    // hashes is the k=1 MinHash signature — the scale path to MinHashLSH).
+    Q(
+      "text_fingerprint",
+      (s, dir) => {
+        val w = filter(split(Cleaning.cleanText(col("text")), " "), t => t =!= "")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), w.as("w"),
+            md5(Cleaning.cleanText(col("text")).cast("binary")).as("doc_md5"))
+          .select(col("doc_id"), col("doc_md5"),
+            when(size(col("w")) >= 3,
+              array_min(expr(
+                "transform(sequence(0, size(w) - 3)," +
+                  " i -> md5(cast(concat_ws(' ', w[i], w[i+1], w[i+2]) as binary)))")))
+              .otherwise(lit(null)).as("minhash1"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cleaned AS (
+              |  SELECT doc_id, $cleanSql AS clean FROM documents),
+              |words AS (
+              |  SELECT doc_id, md5(clean) AS doc_md5,
+              |    list_filter(string_split(clean, ' '), t -> t <> '') AS w
+              |  FROM cleaned),
+              |shingles AS (
+              |  SELECT doc_id, doc_md5,
+              |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+              |  FROM words, unnest(generate_series(1, len(w) - 2)) AS g(i)
+              |  WHERE len(w) >= 3)
+              |SELECT c.doc_id, c2.doc_md5, s.mh AS minhash1
+              |FROM cleaned c
+              |LEFT JOIN (SELECT doc_id, min(sh) AS mh FROM shingles GROUP BY doc_id) s
+              |  ON c.doc_id = s.doc_id
+              |LEFT JOIN (SELECT DISTINCT doc_id, doc_md5 FROM words) c2
+              |  ON c.doc_id = c2.doc_id
+              |ORDER BY c.doc_id""".stripMargin))
+  )
 }
