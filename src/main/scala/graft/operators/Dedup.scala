@@ -1,8 +1,216 @@
 package graft.operators
 
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Q
+import graft.sources.Tables
+import graft.functions.Cleaning
 
-/** Deduplication operators (north star; SURVEY.md §7.6). Filled in this round. */
+/** Deduplication operators over the `documents` fixture — the LLM-pipeline
+  * north star (exact, bag-of-words, n-gram Jaccard, SimHash, MinHash+LSH).
+  * No reference analogue (the reference never dedups); designed Spark-first.
+  *
+  * Cross-engine determinism: fingerprints are md5 (bit-identical) or
+  * integer-arithmetic hashes (the SimHash word hash is a small polynomial
+  * over character codes — exact in BIGINT on both engines); Jaccard scores
+  * are basis-point integers via floor-division.
+  *
+  * Scale posture (100 TB): exact/BoW dedup is one hash-partitioned groupBy on
+  * the fingerprint (shuffle O(docs), no pairwise work); Jaccard pairs are
+  * blocked on a bounded key (`source`) so the quadratic blowup is per-block;
+  * SimHash reduces near-dup detection to an equality/band join on a 16-bit
+  * key; MinHashLSH (the real 100 TB path) is banded bucket-join — candidate
+  * pairs only, never all-pairs.
+  */
 object Dedup {
-  val queries: Seq[Q] = Seq.empty
+
+  private def cleanCol: Column = Cleaning.cleanText(col("text"))
+
+  /** Shared SQL fragment: cleaned text (mirrors TextOps.cleanSql). */
+  private val cleanSql: String =
+    """lower(trim(regexp_replace(
+      |  regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+      |      'http\S+', '', 'g'), '@\w+', '', 'g'),
+      |    '(?i)\bcovid-19\b', '', 'g'), '(?i)\bcovid19\b', '', 'g'),
+      |    '(?i)\bcovid_19\b', '', 'g'), '(?i)\bcovid\b', '', 'g'),
+      |  '[^A-Za-z ]+', '', 'g')))""".stripMargin
+
+  /** Deterministic 31-bit word hash usable in both engines: a weighted
+    * character-code sum mixed by a Knuth multiplier, mod a Mersenne prime.
+    * Weak as hashes go, but exact integer arithmetic everywhere. */
+  private def wordHashExpr(wordCol: String): String =
+    s"((aggregate(transform(sequence(1, length($wordCol)), " +
+      s"k -> cast(k as bigint) * ascii(substring($wordCol, k, 1))), " +
+      s"cast(0 as bigint), (a, x) -> a + x) * 2654435761) % 2147483647)"
+
+  private def wordHashSql(wordCol: String): String =
+    s"((list_sum(list_transform(range(1, len($wordCol) + 1), " +
+      s"k -> k * ascii(substring($wordCol, k, 1)))) * 2654435761) % 2147483647)"
+
+  val queries: Seq[Q] = Seq(
+    // ---- Exact dedup: md5 fingerprint → hash-group → canonical = min id.
+    // One shuffle on the fingerprint; O(docs) at any scale.
+    Q(
+      "dedup_exact",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_md5"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), md5(cleanCol.cast("binary")).as("doc_md5"))
+          .withColumn("canonical_id", min(col("doc_id")).over(w))
+          .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, md5($cleanSql) AS doc_md5 FROM documents)
+              |SELECT doc_id, doc_md5,
+              |  min(doc_id) OVER (PARTITION BY doc_md5) AS canonical_id,
+              |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY doc_md5) AS INT) AS is_dup
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- Dedup stats: corpus-level uniqueness under exact, bag-of-words
+    // (order-insensitive) and distinct-word-set normalization.
+    Q(
+      "dedup_stats",
+      (s, dir) => {
+        val words = filter(split(cleanCol, " "), t => t =!= "")
+        Tables.documents(s, dir)
+          .select(
+            md5(cleanCol.cast("binary")).as("h_exact"),
+            md5(array_join(sort_array(words), " ").cast("binary")).as("h_bow"),
+            md5(array_join(array_sort(array_distinct(words)), " ").cast("binary")).as("h_set"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("h_exact")).as("n_unique_exact"),
+            countDistinct(col("h_bow")).as("n_unique_bow"),
+            countDistinct(col("h_set")).as("n_unique_set"))
+      },
+      Some(s"""WITH c AS (SELECT $cleanSql AS clean FROM documents),
+              |h AS (SELECT md5(clean) AS h_exact,
+              |  md5(array_to_string(list_sort(list_filter(string_split(clean, ' '),
+              |    t -> t <> '')), ' ')) AS h_bow,
+              |  md5(array_to_string(list_sort(list_distinct(list_filter(
+              |    string_split(clean, ' '), t -> t <> ''))), ' ')) AS h_set
+              |  FROM c)
+              |SELECT count(*) AS n_docs,
+              |  count(DISTINCT h_exact) AS n_unique_exact,
+              |  count(DISTINCT h_bow) AS n_unique_bow,
+              |  count(DISTINCT h_set) AS n_unique_set
+              |FROM h""".stripMargin)),
+
+    // ---- Exact n-gram (word-set) Jaccard near-dup pairs, blocked on the
+    // bounded `source` key. Score in exact basis points. The explode+equi-
+    // join computes intersections without materializing all pairs of docs —
+    // only pairs sharing ≥1 word inside a block ever exist.
+    Q(
+      "dedup_jaccard_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            array_distinct(filter(split(cleanCol, " "), t => t =!= "")).as("ws"))
+        val tok = docs.select(col("doc_id"), col("source"),
+          explode(col("ws")).as("word"))
+        val sizes = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
+        val inter = tok.as("a").join(tok.as("b"),
+            col("a.word") === col("b.word") && col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+          .select(col("d1"), col("d2"),
+            floor(lit(10000) * col("ni") / (col("na") + col("nb") - col("ni")))
+              .cast("long").as("j_bp"))
+          .filter(col("j_bp") >= 9000)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH c AS (SELECT doc_id, source, $cleanSql AS clean FROM documents),
+              |d AS (SELECT doc_id, source,
+              |  list_distinct(list_filter(string_split(clean, ' '), t -> t <> '')) AS ws
+              |  FROM c),
+              |tok AS (SELECT doc_id, source, unnest(ws) AS word FROM d),
+              |sizes AS (SELECT doc_id, len(ws) AS n FROM d),
+              |inter AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+              |  FROM tok a JOIN tok b
+              |    ON a.word = b.word AND a.source = b.source AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT d1, d2,
+              |  CAST((10000 * ni) // (sa.n + sb.n - ni) AS BIGINT) AS j_bp
+              |FROM inter
+              |JOIN sizes sa ON d1 = sa.doc_id
+              |JOIN sizes sb ON d2 = sb.doc_id
+              |WHERE (10000 * ni) // (sa.n + sb.n - ni) >= 9000
+              |ORDER BY d1, d2""".stripMargin),
+      headline = true),
+
+    // ---- SimHash-16 fingerprint: per-word 31-bit hashes vote (weighted by
+    // term frequency) on each of 16 bits. Near-dups land at small hamming
+    // distance, turning near-dup search into an equality/band join.
+    Q(
+      "dedup_simhash",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(filter(split(cleanCol, " "), t => t =!= "")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+          .withColumn("wh", expr(wordHashExpr("word")))
+        val bitSums = (0 until 16).map { j =>
+          val pow = 1L << j
+          sum(col("cnt") * (expr(s"(wh div $pow) % 2") * 2 - 1)).as(s"s$j")
+        }
+        val simhash = (0 until 16).map { j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), simhash.cast("long").as("simhash16"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bitSumCols = (0 until 16).map { j =>
+          val pow = 1L << j
+          s"sum(cnt * (2 * ((wh // $pow) % 2) - 1)) AS s$j"
+        }.mkString(",\n              ")
+        val hashExpr = (0 until 16).map { j =>
+          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH c AS (SELECT doc_id, $cleanSql AS clean FROM documents),
+           |tok AS (
+           |  SELECT doc_id, word, count(*) AS cnt
+           |  FROM c, unnest(list_filter(string_split(clean, ' '), t -> t <> '')) AS u(word)
+           |  GROUP BY 1, 2),
+           |hashed AS (SELECT doc_id, cnt, ${wordHashSql("word")} AS wh FROM tok),
+           |bits AS (SELECT doc_id,
+           |  $bitSumCols
+           |  FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash16
+           |FROM bits ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- MinHash + LSH (the 100 TB near-dup path): MLlib MinHashLSH over
+    // binarized term vectors; approxSimilarityJoin = banded bucket join, so
+    // only colliding candidates are compared. Approximate + model-seeded →
+    // no SQL oracle (driver records rows-only); invariants are scalatested.
+    Q(
+      "dedup_minhash_lsh",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            filter(split(cleanCol, " "), t => t =!= "").as("w"))
+          .filter(size(col("w")) > 0)
+        val cv = new CountVectorizer().setInputCol("w").setOutputCol("tf")
+          .setVocabSize(1 << 14).setBinary(true).fit(docs)
+        val vecs = cv.transform(docs).select(col("doc_id"), col("tf"))
+        val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
+          .setNumHashTables(8).setSeed(42L)
+        val model = mh.fit(vecs)
+        model.approxSimilarityJoin(vecs, vecs, 0.5, "jaccard_dist")
+          .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
+            floor(lit(10000) * (lit(1.0) - col("jaccard_dist"))).cast("long").as("sim_bp"))
+          .filter(col("d1") < col("d2"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      None)
+  )
 }
