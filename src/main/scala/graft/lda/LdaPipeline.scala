@@ -4,6 +4,7 @@ import org.apache.spark.ml.clustering.LDA
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, RegexTokenizer, StopWordsRemover}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.vector_to_array
 
 import graft.sources.Tables
 import graft.functions.Cleaning
@@ -42,6 +43,33 @@ object LdaPipeline {
     sw.transform(tok.transform(cleaned))
       .filter(size(col("tokens")) > 0) // docs with no surviving tokens vanish,
       // matching the reference's inner-join corpus shrink (py:75,93; SURVEY §7.5.2)
+  }
+
+  /** θ per document (M2's doc-topic state, kept distributed): doc_id, the
+    * argmax topic, and the topic weight — the reference collects θ to the
+    * driver (py:155); here it stays a DataFrame. */
+  def docTopics(spark: SparkSession, dir: String, vocabSize: Int,
+      numTopics: Int, maxIter: Int, seed: Long = 42L): DataFrame = {
+    val docs = preprocess(Tables.documents(spark, dir)).persist()
+    val cvModel = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setVocabSize(vocabSize)
+      .fit(docs)
+    val encoded = cvModel.transform(docs)
+    val model = new LDA()
+      .setK(numTopics).setMaxIter(maxIter).setSeed(seed)
+      .setDocConcentration(1.0 / numTopics)
+      .setTopicConcentration(1.0 / numTopics)
+      .setFeaturesCol("features")
+      .fit(encoded)
+    val out = model.transform(encoded)
+      .select(col("doc_id"), vector_to_array(col("topicDistribution")).as("theta"))
+      .select(col("doc_id"),
+        expr("array_position(theta, array_max(theta)) - 1").cast("int").as("topic"),
+        round(array_max(col("theta")), 4).as("weight"))
+      .orderBy(col("doc_id"))
+    docs.unpersist()
+    out
   }
 
   /** Fit CountVectorizer(top-V vocab) + LDA on the `documents` fixture and
