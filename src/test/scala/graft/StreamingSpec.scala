@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured Streaming path: the same transform must produce the same
+  * result in micro-batch streaming mode as in batch mode. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, typ: String, v: Double) =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), id % 3, typ, v, s"""{"k": $id}""")
+
+  test("streaming windowed counts equal batch windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, 1, "click", 1.0), ev(2, 5, "click", 2.0), ev(3, 40, "view", 3.0),
+      ev(4, 59, "click", 4.0), ev(5, 10, "view", 0.5))
+
+    val mem = MemoryStream[Ev]
+    mem.addData(data: _*)
+    val q = EventStreams.streamingWindowedTypeCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_test").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_test")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStreams.windowedTypeCounts(data.toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // one 1-hour window, two types
+    assert(batch.map(_.getString(1)).toSet == Set("click", "view"))
+  }
+
+  test("file-source streaming reads the events fixture schema") {
+    val stream = EventStreams.readEventStream(spark, sf0001)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.contains("event_type"))
+  }
+
+  test("json extraction pulls typed k") {
+    val df = EventStreams.withJsonK(Seq(ev(7, 1, "click", 1.0)).toDF())
+    assert(df.select(col("k")).collect().head.getLong(0) == 7L)
+  }
+}
