@@ -106,6 +106,12 @@ object Dedup {
     Q(
       "dedup_jaccard_pairs",
       (s, dir) => {
+        // Token-explode + equi-join + count formulation: every stage is a
+        // codegen'd hash join/aggregate. (A direct doc-pair join computing
+        // array_intersect per pair benchmarked 2.5× slower — the Jaccard
+        // filter gets pushed into the join condition, where interpreted
+        // lambda expressions evaluate the intersection several times per
+        // candidate pair.)
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"),
             array_distinct(filter(split(cleanCol, " "), t => t =!= "")).as("ws"))
