@@ -343,6 +343,50 @@ object Relational {
              |FROM orders
              |GROUP BY 1 ORDER BY month""".stripMargin)),
 
+    // ---- P5: null-row filter (the reference's dropna,
+    // ExtractTwitterData.py:167) — nulls introduced via nullif, dropped
+    // via na.drop, observable in the counts.
+    Q(
+      "rel_null_filter",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            expr("nullif(l_discount, 0.0)").as("disc"))
+          .na.drop(Seq("disc"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_nonnull"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_nonnull
+             |FROM (SELECT l_returnflag, nullif(l_discount, 0.0) AS disc FROM lineitem)
+             |WHERE disc IS NOT NULL
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- F8: timestamp parse/format round-trip + interval arithmetic
+    // (the strptime/strftime + timedelta stepping of ExtractTwitterData.py:27,115-117).
+    Q(
+      "rel_ts_parse",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") < 100)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+          .select(col("o_orderkey"), col("iso"),
+            date_format(
+              to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ss")
+                + expr("INTERVAL 30 MINUTES") + expr("INTERVAL 1 SECOND"),
+              "yyyy-MM-dd HH:mm:ss").as("advanced"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, iso,
+             |  strftime(strptime(iso, '%Y-%m-%dT%H:%M:%S')
+             |    + INTERVAL 30 minute + INTERVAL 1 second,
+             |    '%Y-%m-%d %H:%M:%S') AS advanced
+             |FROM (SELECT o_orderkey,
+             |        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
+             |      FROM orders WHERE o_orderkey < 100)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- C1: cache + multi-reuse — one scan feeds two aggregates
     // (the reference caches finalrdd before 6 reuses, :124-126).
     Q(

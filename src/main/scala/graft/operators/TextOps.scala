@@ -251,6 +251,67 @@ object TextOps {
              |    AS BIGINT) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- E3: position-aware explode (posexplode — the topic-position zip
+    // of LDATopicModelingWithGibbs.py:136).
+    Q(
+      "text_token_positions",
+      (s, dir) => docsWithTokens(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(col("w")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some(s"""WITH cleaned AS (
+              |  SELECT doc_id, $cleanSql AS clean FROM documents WHERE doc_id < 50),
+              |d AS (SELECT doc_id,
+              |  list_filter(string_split(clean, ' '),
+              |    t -> t <> '' AND t NOT IN ($swSqlList)) AS w
+              |  FROM cleaned)
+              |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+              |FROM d, unnest(generate_series(1, len(w))) AS g(i)
+              |ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- A6: per-doc in-array histogram via higher-order functions (the
+    // per-doc topic-histogram shape, py:122) — token-length counts 1..10.
+    Q(
+      "text_len_hist",
+      (s, dir) => docsWithTokens(s, dir)
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(1), lit(10)),
+            k => size(filter(col("w"), t => length(t) === k)).cast("long")), ",")
+            .as("len_hist"))
+        .orderBy(col("doc_id")),
+      Some(s"""$tokSql, d AS (
+              |  SELECT c.doc_id,
+              |    coalesce(list(tok.word), []) AS w
+              |  FROM cleaned c LEFT JOIN tok ON c.doc_id = tok.doc_id
+              |  GROUP BY c.doc_id)
+              |SELECT doc_id,
+              |  array_to_string(list_transform(generate_series(1, 10),
+              |    k -> len(list_filter(w, t -> len(t) = k))), ',') AS len_hist
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---- A5 + §2.10 UDAF: global elementwise vector reduce of the per-doc
+    // histograms via the typed ArraySumAgg Aggregator (the reference's
+    // reduce(np.add) n_z accumulation, py:158).
+    Q(
+      "text_len_hist_global",
+      (s, dir) => {
+        val agg = udaf(graft.functions.ArraySumAgg)
+        docsWithTokens(s, dir)
+          .select(transform(sequence(lit(1), lit(10)),
+            k => size(filter(col("w"), t => length(t) === k)).cast("long")).as("hist"))
+          .agg(agg(col("hist")).as("h"))
+          .select(array_join(col("h"), ",").as("global_len_hist"))
+      },
+      Some(s"""$tokSql, hists AS (
+              |  SELECT doc_id, len(word) AS l FROM tok),
+              |sums AS (
+              |  SELECT k, count(*) FILTER (WHERE l = k) AS s
+              |  FROM hists, unnest(generate_series(1, 10)) AS g(k)
+              |  GROUP BY k)
+              |SELECT array_to_string(list(s ORDER BY k), ',') AS global_len_hist
+              |FROM sums""".stripMargin)),
+
     // ---- Fingerprinting: whole-doc md5 + MinHash-1 over word 3-gram
     // shingles (md5 is bit-identical across engines; min() over shingle
     // hashes is the k=1 MinHash signature — the scale path to MinHashLSH).
