@@ -23,7 +23,11 @@ object Cleaning {
       "\\x{1F0A0}-\\x{1F0FF}\\x{1F100}-\\x{1F1FF}\\x{1F200}-\\x{1F2FF}" +
       "\\x{2190}-\\x{21FF}\\x{2B00}-\\x{2BFF}\\x{FE00}-\\x{FE0F}\\x{200D}]"
 
-  def removeEmojiTokens(c: Column): Column =
+  /** Production form: the native codegen Expression (no per-token regex). */
+  def removeEmojiTokens(c: Column): Column = EmojiStripTokens(c)
+
+  /** Built-in-only form, kept for the Expression-equivalence test. */
+  def removeEmojiTokensHof(c: Column): Column =
     array_join(
       filter(split(c, "\\s+"), t => !(t rlike EmojiClass)),
       " ")

@@ -45,4 +45,17 @@ class CleaningSpec extends SparkSpec {
     assert(clean("") == "")
     assert(clean("   \t ") == "")
   }
+
+  test("native EmojiStripTokens expression is bit-equal to the HOF form") {
+    val cases = Seq("", "plain text", "a😀b c", "😀 start", "end 🚀",
+      " lead", "trail ", "mid😀dle kept", "🇺🇸 flag token", "zero‍joiner x",
+      "tab\tsep", "multi   space", "☀ sun ♥")
+    val df = cases.toDF("text")
+    val out = df.select(
+      Cleaning.removeEmojiTokens(col("text")).as("native"),
+      Cleaning.removeEmojiTokensHof(col("text")).as("hof")).collect()
+    out.zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1), s"mismatch for input '$in'")
+    }
+  }
 }
