@@ -43,11 +43,12 @@ object Tables {
     * (LDATopicModelingWithGibbs.py:31) which breaks on text containing commas.
     */
   def csv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
-      header: Boolean = true): DataFrame =
+      header: Boolean = true, multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", header.toString)
       .option("quote", "\"")
       .option("escape", "\"")
+      .option("multiLine", multiLine.toString)
       .schema(schema)
       .csv(path)
 }
