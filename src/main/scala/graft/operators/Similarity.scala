@@ -25,13 +25,13 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Quantize ARRAY<FLOAT> → ARRAY<BIGINT> at 1e6. */
-  private def qCol(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+  /** Quantize ARRAY<FLOAT> → ARRAY<BIGINT> at 1e6 (native codegen
+    * expression; semantics = transform(c, x -> floor(double(x)·1e6))). */
+  private def qCol(c: Column): Column = graft.functions.QDot.quantize(c)
 
-  /** Exact integer dot product of two quantized vectors. */
-  private def qDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors (native codegen
+    * expression; semantics = aggregate(zip_with(a, b, *), 0, +)). */
+  private def qDot(a: Column, b: Column): Column = graft.functions.QDot(a, b)
 
   private val qSql = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
 
