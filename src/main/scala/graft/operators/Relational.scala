@@ -343,6 +343,33 @@ object Relational {
              |FROM orders
              |GROUP BY 1 ORDER BY month""".stripMargin)),
 
+    // ---- Skew pattern: salted join. l_returnflag has 3 values, so a plain
+    // repartition-join on it puts ~1/3 of a 100 TB fact table in single
+    // reducers. Salting spreads each hot key over 16 shuffle partitions and
+    // replicates the (tiny) dim side per salt. The oracle proves the salted
+    // plan returns exactly the plain join's result.
+    Q(
+      "rel_skew_salted_join",
+      (s, dir) => {
+        val salts = 16
+        val flags = Seq("A", "N", "R")
+        val dim = s.createDataFrame(
+            flags.map(f => (f, s"flag_$f"))).toDF("flag", "flag_name")
+          .crossJoin(s.range(salts).toDF("salt"))
+        val fact = Tables.lineitem(s, dir)
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(salts)).cast("long"))
+        fact.join(broadcast(dim),
+            fact("l_returnflag") === dim("flag") && fact("salt") === dim("salt"))
+          .groupBy(col("flag_name"))
+          .agg(count(lit(1)).as("n"),
+            asMoney(sum(dec4(col("l_extendedprice")))).as("total"))
+          .orderBy(col("flag_name"))
+      },
+      Some("""SELECT 'flag_' || l_returnflag AS flag_name, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM lineitem
+             |GROUP BY 1 ORDER BY flag_name""".stripMargin)),
+
     // ---- P5: null-row filter (the reference's dropna,
     // ExtractTwitterData.py:167) — nulls introduced via nullif, dropped
     // via na.drop, observable in the counts.
