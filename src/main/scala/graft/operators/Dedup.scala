@@ -152,6 +152,60 @@ object Dedup {
               |ORDER BY d1, d2""".stripMargin),
       headline = true),
 
+    // ---- n-gram (3-shingle) Jaccard near-dup pairs. Word-SET Jaccard is
+    // saturated on this small-vocabulary corpus (hundreds of ≥0.9 pairs);
+    // shingle Jaccard isolates the one genuinely near-identical pair —
+    // word ORDER is the discriminative signal. Same blocked explode+count
+    // shape as the word-set variant.
+    Q(
+      "dedup_shingle_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            filter(split(cleanCol, " "), t => t =!= "").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), col("source"),
+            array_distinct(expr(
+              "transform(sequence(0, size(w) - 3)," +
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+        val tok = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+        val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+        tok.as("a").join(tok.as("b"),
+            col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("ni"))
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+          .select(col("d1"), col("d2"),
+            floor(lit(10000) * col("ni") / (col("na") + col("nb") - col("ni")))
+              .cast("long").as("j_bp"))
+          .filter(col("j_bp") >= 2000)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH c AS (SELECT doc_id, source, $cleanSql AS clean FROM documents),
+              |w AS (SELECT doc_id, source,
+              |  list_filter(string_split(clean, ' '), t -> t <> '') AS w
+              |  FROM c),
+              |d AS (SELECT doc_id, source,
+              |  list_distinct(list_transform(generate_series(1, len(w) - 2),
+              |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              |  FROM w WHERE len(w) >= 3),
+              |tok AS (SELECT doc_id, source, unnest(sh) AS g FROM d),
+              |sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+              |inter AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+              |  FROM tok a JOIN tok b
+              |    ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT d1, d2,
+              |  CAST((10000 * ni) // (sa.n + sb.n - ni) AS BIGINT) AS j_bp
+              |FROM inter
+              |JOIN sizes sa ON d1 = sa.doc_id
+              |JOIN sizes sb ON d2 = sb.doc_id
+              |WHERE (10000 * ni) // (sa.n + sb.n - ni) >= 2000
+              |ORDER BY d1, d2""".stripMargin)),
+
     // ---- SimHash-16 fingerprint: per-word 31-bit hashes vote (weighted by
     // term frequency) on each of 16 bits. Near-dups land at small hamming
     // distance, turning near-dup search into an equality/band join.

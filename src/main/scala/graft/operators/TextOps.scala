@@ -251,6 +251,22 @@ object TextOps {
              |    AS BIGINT) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- TF-IDF core statistics: document frequency + collection frequency
+    // per word, all exact integers (the relational heart of TF-IDF; the
+    // IDF log-weighting runs Spark-side — ln is not cross-engine
+    // bit-stable, so the oracle checks the exact counts).
+    Q(
+      "text_doc_freq",
+      (s, dir) => tokenStream(s, dir)
+        .groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"))
+        .orderBy(desc("df"), asc("word")),
+      Some(s"""$tokSql
+              |SELECT word, count(DISTINCT doc_id) AS df, count(*) AS cf
+              |FROM tok GROUP BY word
+              |ORDER BY df DESC, word ASC""".stripMargin)),
+
     // ---- E3: position-aware explode (posexplode — the topic-position zip
     // of LDATopicModelingWithGibbs.py:136).
     Q(

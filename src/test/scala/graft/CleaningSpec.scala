@@ -58,4 +58,16 @@ class CleaningSpec extends SparkSpec {
       assert(r.getString(0) == r.getString(1), s"mismatch for input '$in'")
     }
   }
+
+  test("native expressions are callable from SQL after registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT emoji_strip_tokens('a\uD83D\uDE00b keep') AS t,
+        |  qdot(array(2L, 3L), array(5L, 7L)) AS d,
+        |  quantize_vec(array(CAST(0.5 AS FLOAT), CAST(-1.25 AS FLOAT))) AS q
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "keep")
+    assert(r.getLong(1) == 31L)
+    assert(r.getSeq[Long](2) == Seq(500000L, -1250000L))
+  }
 }
