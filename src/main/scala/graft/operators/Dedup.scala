@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -165,9 +164,7 @@ object Dedup {
             filter(split(cleanCol, " "), t => t =!= "").as("w"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), col("source"),
-            array_distinct(expr(
-              "transform(sequence(0, size(w) - 3)," +
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+            graft.functions.ShingleSet(col("w")).as("sh"))
         val tok = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
         val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
         tok.as("a").join(tok.as("b"),
@@ -215,7 +212,7 @@ object Dedup {
         val tok = Tables.documents(s, dir)
           .select(col("doc_id"), explode(filter(split(cleanCol, " "), t => t =!= "")).as("word"))
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-          .withColumn("wh", expr(wordHashExpr("word")))
+          .withColumn("wh", graft.functions.StrHash31(col("word")))
         val bitSums = (0 until 16).map { j =>
           val pow = 1L << j
           sum(col("cnt") * (expr(s"(wh div $pow) % 2") * 2 - 1)).as(s"s$j")
@@ -248,27 +245,52 @@ object Dedup {
            |FROM bits ORDER BY doc_id""".stripMargin
       }),
 
-    // ---- MinHash + LSH (the 100 TB near-dup path): MLlib MinHashLSH over
-    // binarized term vectors; approxSimilarityJoin = banded bucket join, so
-    // only colliding candidates are compared. Approximate + model-seeded →
-    // no SQL oracle (driver records rows-only); invariants are scalatested.
+    // ---- MinHash + LSH (the 100 TB near-dup path): shingle → 16 minhash
+    // permutations → 4 bands of 4 → bucket equi-join → exact-Jaccard
+    // rerank. Hand-built with deterministic integer hashes (no model
+    // seeding, no mega-bucket degeneracy — word-level MLlib MinHashLSH on
+    // this saturated-vocabulary corpus benchmarked minutes at sf0.1; this
+    // runs in seconds). Candidates are pairs agreeing on ≥1 full band;
+    // false positives are removed by the exact rerank, so output ⊆ the
+    // oracle-checked dedup_shingle_jaccard at the same threshold.
+    // Scale: one min-aggregate pass (map-side combine), one equi-join on
+    // band keys, exact verification only on candidates — never all-pairs.
     Q(
       "dedup_minhash_lsh",
       (s, dir) => {
+        val P = 2147483647L
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"),
             filter(split(cleanCol, " "), t => t =!= "").as("w"))
-          .filter(size(col("w")) > 0)
-        val cv = new CountVectorizer().setInputCol("w").setOutputCol("tf")
-          .setVocabSize(1 << 14).setBinary(true).fit(docs)
-        val vecs = cv.transform(docs).select(col("doc_id"), col("tf"))
-        val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
-          .setNumHashTables(8).setSeed(42L)
-        val model = mh.fit(vecs)
-        model.approxSimilarityJoin(vecs, vecs, 0.5, "jaccard_dist")
-          .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
-            floor(lit(10000) * (lit(1.0) - col("jaccard_dist"))).cast("long").as("sim_bp"))
-          .filter(col("d1") < col("d2"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), graft.functions.ShingleSet(col("w")).as("sh"))
+        val hashed = docs
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .withColumn("h", graft.functions.StrHash31(col("g")))
+        val minCols = (0 until 16).map { j =>
+          min(expr(s"((${2 * j + 1} * h + ${j * 40503}) % $P)")).as(s"m$j")
+        }
+        val sigs = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        val bands = sigs.select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+          concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
+        }: _*)).as(Seq("band", "key")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), col("sh"))
+        cand
+          .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
+          .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("ni"),
+            size(col("sh1")).cast("long").as("na"),
+            size(col("sh2")).cast("long").as("nb"))
+          .select(col("d1"), col("d2"),
+            floor(lit(10000) * col("ni") / (col("na") + col("nb") - col("ni")))
+              .cast("long").as("j_bp"))
+          .filter(col("j_bp") >= 2000)
           .orderBy(col("d1"), col("d2"))
       },
       None)

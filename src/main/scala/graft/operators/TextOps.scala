@@ -338,11 +338,13 @@ object TextOps {
         Tables.documents(s, dir)
           .select(col("doc_id"), w.as("w"),
             md5(Cleaning.cleanText(col("text")).cast("binary")).as("doc_md5"))
+          // ShingleSet is one native expression referencing w once — the
+          // transform-over-sequence form re-evaluates w's defining chain
+          // per element after projection collapse (see ShingleSet docs).
           .select(col("doc_id"), col("doc_md5"),
             when(size(col("w")) >= 3,
-              array_min(expr(
-                "transform(sequence(0, size(w) - 3)," +
-                  " i -> md5(cast(concat_ws(' ', w[i], w[i+1], w[i+2]) as binary)))")))
+              array_min(transform(graft.functions.ShingleSet(col("w")),
+                g => md5(g.cast("binary")))))
               .otherwise(lit(null)).as("minhash1"))
           .orderBy(col("doc_id"))
       },
