@@ -93,6 +93,20 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000) }
   }
 
+  test("minhash LSH recalls every exact shingle-Jaccard pair") {
+    val exact = run("dedup_shingle_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact twin found no pairs — fixture changed?")
+    // every true near-dup must appear among LSH candidates (banding with
+    // 4-row bands at j>=0.2 has >99% recall for the j>=0.9 planted pair)
+    val highSim = run("dedup_shingle_jaccard").collect()
+      .filter(_.getLong(2) >= 9000).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(highSim.subsetOf(lsh),
+      s"LSH missed high-similarity pairs: ${highSim -- lsh}")
+  }
+
   test("text_vocab: positions dense 0..V-1, counts non-increasing") {
     val rows = run("text_vocab").collect()
     val pos = rows.map(_.getLong(2)).toSeq
