@@ -164,24 +164,28 @@ object TextOps {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- Quality scoring: per-doc token stats with ratios as exact
-    // basis-point integers (floor-div — see object doc).
+    // basis-point integers (floor-div — see object doc). Computed on the
+    // exploded token stream: the cleaning chain runs once per doc and the
+    // aggregations reference only cheap attributes (multi-reference array
+    // lambdas would re-evaluate the chain per element — see ShingleSet).
     Q(
       "text_quality",
       (s, dir) => {
-        val all = split(Cleaning.cleanText(col("text")), " ")
-        val nAll = size(filter(all, t => t =!= "")).cast("long")
-        val nStop = size(filter(all, t => array_contains(swArray, t))).cast("long")
-        val totLen = aggregate(filter(all, t => t =!= ""),
-          lit(0L), (acc, t) => acc + length(t)).cast("long")
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          col("n_chars"),
-          nAll.as("n_tokens"),
-          nStop.as("n_stop"),
-          when(nAll > 0, floor(lit(10000) * nStop / nAll)).otherwise(0L)
-            .cast("long").as("stop_bp"),
-          when(nAll > 0, floor(lit(100) * totLen / nAll)).otherwise(0L)
-            .cast("long").as("avg_len_c"))
+        val rawTok = Tables.documents(s, dir).select(
+          col("doc_id"), col("n_chars"),
+          explode(split(Cleaning.cleanText(col("text")), " ")).as("t"))
+        val nAll = sum(when(col("t") =!= "", 1L).otherwise(0L))
+        val nStop = sum(when(array_contains(swArray, col("t")), 1L).otherwise(0L))
+        val totLen = sum(length(col("t")).cast("long"))
+        rawTok.groupBy(col("doc_id"), col("n_chars"))
+          .agg(nAll.as("n_tokens"), nStop.as("n_stop"), totLen.as("tot_len"))
+          .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_stop"),
+            when(col("n_tokens") > 0,
+              floor(lit(10000) * col("n_stop") / col("n_tokens"))).otherwise(0L)
+              .cast("long").as("stop_bp"),
+            when(col("n_tokens") > 0,
+              floor(lit(100) * col("tot_len") / col("n_tokens"))).otherwise(0L)
+              .cast("long").as("avg_len_c"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH cleaned AS (
@@ -208,14 +212,17 @@ object TextOps {
     Q(
       "text_langid",
       (s, dir) => {
-        val all = filter(split(Cleaning.cleanText(col("text")), " "), t => t =!= "")
-        val nAll = size(all).cast("long")
-        val nEn = size(filter(all, t => array_contains(swArray, t))).cast("long")
-        val bp = when(nAll > 0, floor(lit(10000) * nEn / nAll)).otherwise(0L).cast("long")
-        Tables.documents(s, dir).select(
-          col("doc_id"), col("lang").as("lang_label"),
-          bp.as("en_marker_bp"),
-          when(bp >= 400, lit("en")).otherwise(lit("und")).as("lang_pred"))
+        val rawTok = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          explode(split(Cleaning.cleanText(col("text")), " ")).as("t"))
+        val agg = rawTok.groupBy(col("doc_id"), col("lang"))
+          .agg(sum(when(col("t") =!= "", 1L).otherwise(0L)).as("n_all"),
+            sum(when(array_contains(swArray, col("t")), 1L).otherwise(0L)).as("n_en"))
+        val bp = when(col("n_all") > 0,
+          floor(lit(10000) * col("n_en") / col("n_all"))).otherwise(0L).cast("long")
+        agg.select(col("doc_id"), col("lang").as("lang_label"),
+            bp.as("en_marker_bp"),
+            when(bp >= 400, lit("en")).otherwise(lit("und")).as("lang_pred"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH cleaned AS (
@@ -290,12 +297,19 @@ object TextOps {
     // per-doc topic-histogram shape, py:122) — token-length counts 1..10.
     Q(
       "text_len_hist",
-      (s, dir) => docsWithTokens(s, dir)
-        .select(col("doc_id"),
-          array_join(transform(sequence(lit(1), lit(10)),
-            k => size(filter(col("w"), t => length(t) === k)).cast("long")), ",")
-            .as("len_hist"))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        val hist = tokenStream(s, dir).groupBy(col("doc_id"))
+          .agg(
+            sum(when(length(col("word")) === 1, 1L).otherwise(0L)).as("h1"),
+            (2 to 10).map(k =>
+              sum(when(length(col("word")) === k, 1L).otherwise(0L)).as(s"h$k")): _*)
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(hist, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            array_join(array((1 to 10).map(k => coalesce(col(s"h$k"), lit(0L))): _*), ",")
+              .as("len_hist"))
+          .orderBy(col("doc_id"))
+      },
       Some(s"""$tokSql, d AS (
               |  SELECT c.doc_id,
               |    coalesce(list(tok.word), []) AS w
@@ -312,11 +326,14 @@ object TextOps {
     Q(
       "text_len_hist_global",
       (s, dir) => {
-        val agg = udaf(graft.functions.ArraySumAgg)
-        docsWithTokens(s, dir)
-          .select(transform(sequence(lit(1), lit(10)),
-            k => size(filter(col("w"), t => length(t) === k)).cast("long")).as("hist"))
-          .agg(agg(col("hist")).as("h"))
+        val a = udaf(graft.functions.ArraySumAgg)
+        val hist = tokenStream(s, dir).groupBy(col("doc_id"))
+          .agg(
+            sum(when(length(col("word")) === 1, 1L).otherwise(0L)).as("h1"),
+            (2 to 10).map(k =>
+              sum(when(length(col("word")) === k, 1L).otherwise(0L)).as(s"h$k")): _*)
+          .select(array((1 to 10).map(k => col(s"h$k")): _*).as("hist"))
+        hist.agg(a(col("hist")).as("h"))
           .select(array_join(col("h"), ",").as("global_len_hist"))
       },
       Some(s"""$tokSql, hists AS (
