@@ -41,6 +41,22 @@ object ShingleSet {
 }
 
 object ShingleOps {
+  /** Merge-count of common elements in two sorted, distinct string arrays. */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def shingles(words: ArrayData, n: Int): ArrayData = {
     val count = words.numElements() - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])

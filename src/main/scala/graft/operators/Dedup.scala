@@ -279,12 +279,12 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
-        val sets = docs.select(col("doc_id"), col("sh"))
+        val sets = docs.select(col("doc_id"), array_sort(col("sh")).as("sh"))
         cand
           .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
           .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
           .select(col("d1"), col("d2"),
-            size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("ni"),
+            graft.functions.SortedIntersectSize(col("sh1"), col("sh2")).as("ni"),
             size(col("sh1")).cast("long").as("na"),
             size(col("sh2")).cast("long").as("nb"))
           .select(col("d1"), col("d2"),
