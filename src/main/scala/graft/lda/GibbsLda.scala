@@ -1,0 +1,173 @@
+package graft.lda
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distributed collapsed Gibbs sampling for LDA — algorithm-level parity
+  * with the reference sampler (/root/reference/src/LDATopicModelingWithGibbs.py:95-203),
+  * distributed AD-LDA style instead of the reference's driver-side NumPy
+  * loop (its author collected the whole corpus to the driver, py:151-158).
+  *
+  * Semantics per sweep (the reference's exact update, py:160-186):
+  *   p(z=k) ∝ (θ_dk + α) / (n_d − 1 + Tα) · (Φ_kw + β) / (n_k + Vβ)
+  * with the current word excluded (the "−1", SURVEY §7.5.7) and α = β = 1/T
+  * (§7.5.6). Differences, by design (SURVEY §7.5.1): topic init is j mod T
+  * on a DETERMINISTIC doc-term encoding (the reference's is shuffle-order-
+  * dependent), and sampling uses a per-(doc, sweep) seeded RNG, so the whole
+  * fit is reproducible under any partitioning.
+  *
+  * Scale posture: doc states (positions + topics) stay partitioned across
+  * executors; each sweep is one mapPartitions (sampling against a broadcast
+  * Φ copy, locally updated within the partition — AD-LDA's approximation)
+  * followed by one sparse groupBy((topic, word)).count() to rebuild exact
+  * global counts. Driver/broadcast state is Φ (T×V longs) + n_z (T longs) —
+  * bounded by MODEL size, never by corpus size. No O(N·V) one-hot
+  * densification anywhere (SURVEY §4.2.1).
+  */
+object GibbsLda {
+
+  final case class DocState(docId: Long, words: Array[Int], topics: Array[Int])
+
+  final case class GibbsModel(
+      phi: Array[Array[Long]], // T × V topic-word counts
+      nz: Array[Long],         // T topic totals
+      docs: Dataset[DocState],
+      vocab: Array[String])
+
+  /** Deterministic doc-term encoding: clean → tokenize → stopword-filter →
+    * top-V vocab (count desc, word asc) → per-doc position list ordered by
+    * token position (doc identity kept throughout, SURVEY §7.5.3). */
+  private def encode(spark: SparkSession, dir: String, vocabSize: Int):
+      (Dataset[(Long, Array[Int])], Array[String]) = {
+    import spark.implicits._
+    val docs = LdaPipeline.preprocess(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("tokens"))
+    val wc = docs.select(explode(col("tokens")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val vocab = wc.orderBy(desc("cnt"), asc("word")).limit(vocabSize)
+      .select(col("word")).as[String].collect()
+    val vocabMap = vocab.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(vocabMap)
+    val encoded = docs.as[(Long, Seq[String])].map { case (id, toks) =>
+      (id, toks.iterator.flatMap(bc.value.get).toArray)
+    }.filter(_._2.nonEmpty)
+    (encoded, vocab)
+  }
+
+  private def countPhi(docs: Dataset[DocState], numTopics: Int, vocabSize: Int):
+      (Array[Array[Long]], Array[Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // sparse (topic, word) counts — the anti-one-hot path (SURVEY §4.3)
+    val counts = docs.flatMap(d => d.topics.zip(d.words))
+      .toDF("topic", "word")
+      .groupBy(col("topic"), col("word")).agg(count(lit(1)).as("c"))
+      .collect()
+    val phi = Array.fill(numTopics)(new Array[Long](vocabSize))
+    counts.foreach { r => phi(r.getInt(0))(r.getInt(1)) = r.getLong(2) }
+    val nz = phi.map(_.sum)
+    (phi, nz)
+  }
+
+  /** One full-corpus sweep: sample every word slot of every doc. */
+  private def sweep(docs: Dataset[DocState], phi: Array[Array[Long]],
+      nz: Array[Long], numTopics: Int, vocabSize: Int, alpha: Double,
+      beta: Double, iter: Int, seed: Long): Dataset[DocState] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcPhi = spark.sparkContext.broadcast(phi)
+    val bcNz = spark.sparkContext.broadcast(nz)
+    docs.mapPartitions { it =>
+      val gPhi = bcPhi.value
+      val gNz = bcNz.value
+      it.map { d =>
+        // Per-DOC sparse Φ delta (not per-partition): each doc sees the
+        // sweep-start global counts plus only its OWN in-flight updates, so
+        // the sampled assignment is identical under ANY partitioning /
+        // cluster size — stronger than classic AD-LDA's partition-local
+        // staleness, and still Gauss-Seidel within the doc like the
+        // reference's sequential loop.
+        val rng = new java.util.Random(seed * 1000003L + d.docId * 31L + iter)
+        val theta = new Array[Long](numTopics)
+        d.topics.foreach(t => theta(t) += 1)
+        val nd = d.words.length
+        val topics = d.topics.clone()
+        val p = new Array[Double](numTopics)
+        val phiDelta = new java.util.HashMap[Long, Long]()
+        val nzDelta = new Array[Long](numTopics)
+        def dPhi(k: Int, w: Int): Long =
+          gPhi(k)(w) + phiDelta.getOrDefault(k.toLong * vocabSize + w, 0L)
+        def bump(k: Int, w: Int, by: Long): Unit = {
+          val key = k.toLong * vocabSize + w
+          phiDelta.put(key, phiDelta.getOrDefault(key, 0L) + by)
+          nzDelta(k) += by
+        }
+        var j = 0
+        while (j < nd) {
+          val w = d.words(j)
+          val old = topics(j)
+          theta(old) -= 1; bump(old, w, -1L)
+          var sum = 0.0
+          var k = 0
+          while (k < numTopics) {
+            sum += (theta(k) + alpha) / (nd - 1 + numTopics * alpha) *
+              (dPhi(k, w) + beta) / (gNz(k) + nzDelta(k) + vocabSize * beta)
+            p(k) = sum
+            k += 1
+          }
+          val u = rng.nextDouble() * sum
+          var nk = 0
+          while (nk < numTopics - 1 && p(nk) < u) nk += 1
+          topics(j) = nk
+          theta(nk) += 1; bump(nk, w, 1L)
+          j += 1
+        }
+        DocState(d.docId, d.words, topics)
+      }
+    }
+  }
+
+  def fit(spark: SparkSession, dir: String, vocabSize: Int, numTopics: Int,
+      maxIter: Int = 10, seed: Long = 42L): GibbsModel = {
+    import spark.implicits._
+    val (encoded, vocab) = encode(spark, dir, vocabSize)
+    val v = vocab.length
+    // M1: deterministic init, topic = slot index mod T (py:110-121)
+    var docs = encoded.map { case (id, words) =>
+      DocState(id, words, Array.tabulate(words.length)(_ % numTopics))
+    }.persist()
+    docs.count()
+    val alpha = 1.0 / numTopics
+    val beta = 1.0 / numTopics
+    var (phi, nz) = countPhi(docs, numTopics, v)
+    for (i <- 1 to maxIter) {
+      val next = sweep(docs, phi, nz, numTopics, v, alpha, beta, i, seed).persist()
+      next.count()
+      docs.unpersist()
+      docs = next
+      val pn = countPhi(docs, numTopics, v)
+      phi = pn._1; nz = pn._2
+    }
+    GibbsModel(phi, nz, docs, vocab)
+  }
+
+  /** The reference's output contract: top-N words per topic (py:196-203). */
+  def topicReport(spark: SparkSession, dir: String, vocabSize: Int,
+      numTopics: Int, maxIter: Int = 10, topWords: Int = 20,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val m = fit(spark, dir, vocabSize, numTopics, maxIter, seed)
+    val rows = m.phi.zipWithIndex.map { case (row, t) =>
+      val top = row.zipWithIndex.sortBy { case (c, w) => (-c, w) }
+        .take(topWords)
+      (t, top.map { case (_, w) => m.vocab(w) }.toSeq,
+        top.map(_._1).toSeq) // counts as weights
+    }
+    m.docs.unpersist()
+    spark.createDataset(rows.toSeq)
+      .toDF("topic", "terms", "weights")
+      .orderBy(col("topic"))
+  }
+}

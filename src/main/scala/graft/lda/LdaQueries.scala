@@ -23,6 +23,14 @@ object LdaQueries {
     Q("lda_doc_topics",
       (s, dir) => LdaPipeline.docTopics(s, dir,
         vocabSize = 1000, numTopics = 5, maxIter = 5),
+      None),
+
+    // §7.4 stretch: ALGORITHM-level parity — distributed collapsed Gibbs
+    // (AD-LDA), the reference's actual sampler without its driver-side
+    // collect. Seeded and deterministic under any partitioning.
+    Q("gibbs_topics",
+      (s, dir) => GibbsLda.topicReport(s, dir,
+        vocabSize = 1000, numTopics = 5, maxIter = 5),
       None)
   )
 }
