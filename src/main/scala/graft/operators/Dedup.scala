@@ -148,8 +148,7 @@ object Dedup {
               |JOIN sizes sa ON d1 = sa.doc_id
               |JOIN sizes sb ON d2 = sb.doc_id
               |WHERE (10000 * ni) // (sa.n + sb.n - ni) >= 9000
-              |ORDER BY d1, d2""".stripMargin),
-      headline = true),
+              |ORDER BY d1, d2""".stripMargin)),
 
     // ---- n-gram (3-shingle) Jaccard near-dup pairs. Word-SET Jaccard is
     // saturated on this small-vocabulary corpus (hundreds of ≥0.9 pairs);
@@ -201,7 +200,8 @@ object Dedup {
               |JOIN sizes sa ON d1 = sa.doc_id
               |JOIN sizes sb ON d2 = sb.doc_id
               |WHERE (10000 * ni) // (sa.n + sb.n - ni) >= 2000
-              |ORDER BY d1, d2""".stripMargin)),
+              |ORDER BY d1, d2""".stripMargin),
+      headline = true),
 
     // ---- SimHash-16 fingerprint: per-word 31-bit hashes vote (weighted by
     // term frequency) on each of 16 bits. Near-dups land at small hamming

@@ -26,6 +26,34 @@ class SessionizeSpec extends SparkSpec {
     assert(stateful.toSeq == sql.toSeq)
   }
 
+  test("streaming sessionizer closes sessions via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Int) = Event(id,
+      java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      1L, "click", 1.0, "{}")
+
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessionizeStream(spark, mem.toDS(), gapSec = 600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").start()
+    // batch 1: two events 1 min apart (one open session)
+    mem.addData(ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    // batch 2: an event far past the gap advances the watermark, timing
+    // out the open session; it opens a new one that stays open
+    mem.addData(ev(3, 120))
+    q.processAllAvailable()
+    mem.addData(ev(4, 240))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_test").collect()
+    assert(sessions.length >= 1)
+    val first = sessions.minBy(_.getTimestamp(1).getTime)
+    assert(first.getLong(2) == 2L) // the 2-event session closed by timeout
+    assert(first.getLong(3) == 60L) // 1-minute duration
+  }
+
   test("session durations are non-negative and bounded by event span") {
     val events = Tables.events(spark, sf0001).as[Event]
     val sessions = Sessionize.sessionizeBatch(events).collect()
