@@ -241,6 +241,27 @@ object Relational {
              |GROUP BY ROLLUP (n_name)
              |ORDER BY n_name""".stripMargin)),
 
+    // ---- §2.10 cube: all grouping-set combinations of two dimensions.
+    Q(
+      "rel_cube",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            asMoney(sum(dec4(col("o_totalprice")))).as("total"))
+          .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+             |  coalesce(o_orderpriority, '(all)') AS priority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
     // ---- §2.10 semi join (EXISTS): nations that have at least one open order.
     Q(
       "rel_semi_join",
