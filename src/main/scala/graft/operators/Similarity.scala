@@ -174,6 +174,64 @@ object Similarity {
               |SELECT v1, v2, bucket, $scoreBpSql AS score_bp
               |FROM pairs
               |WHERE $scoreBpSql >= 0
-              |ORDER BY v1, v2""".stripMargin))
+              |ORDER BY v1, v2""".stripMargin)),
+
+    // ---- IVF (inverted-file) ANN: KMeans coarse quantizer partitions the
+    // corpus into 16 cells; each query probes its 2 nearest cells and
+    // reranks exactly (quantized dot). The scan per query drops from N to
+    // ~N·(probes/cells); at 100 TB the cells are the partition key, so a
+    // probe touches only its cells' partitions. Centroid math is driver-
+    // side but bounded by k·dim, never corpus size. Model-seeded → rows
+    // only; recall vs the brute-force baseline is scalatested.
+    Q(
+      "sim_ivf_topk",
+      (s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            qCol(col("embedding")).as("ql"))
+          .withColumn("nrm", qDot(col("ql"), col("ql")))
+          .withColumn("fv", array_to_vector(
+            transform(col("embedding"), x => x.cast("double"))))
+        val km = new KMeans().setK(16).setSeed(42L)
+          .setFeaturesCol("fv").setPredictionCol("cell")
+        val model = km.fit(e.select(col("fv")))
+        val assigned = model.transform(e)
+          .select(col("vec_id"), col("ql"), col("nrm"), col("cell"))
+        val centers = model.clusterCenters // bounded: k × dim
+        val queries = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("ql").as("qv"), col("nrm").as("qn"))
+          .collect() // bounded: |Q| rows
+        val probes = queries.flatMap { r =>
+          val qv = r.getSeq[Long](1).toArray
+          centers.zipWithIndex
+            .map { case (c, i) =>
+              val dist = c.toArray.zip(qv.map(_ / 1e6)).map { case (a, b) =>
+                val d = a - b; d * d
+              }.sum
+              (i, dist)
+            }
+            .sortBy(_._2).take(2)
+            .map { case (cell, _) => (r.getLong(0), cell) }
+        }.toSeq
+        val probeDf = s.createDataFrame(probes).toDF("q_id", "cell")
+        val qDf = s.createDataFrame(
+          queries.map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq)
+          .toDF("q_id", "qv", "qn")
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(desc("score_bp"), asc("n_id"))
+        assigned
+          .join(broadcast(probeDf), "cell")
+          .join(broadcast(qDf), "q_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            scoreBp(qDot(col("qv"), col("ql")), col("qn"), col("nrm")).as("score_bp"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("n_id"), col("score_bp"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None)
   )
 }

@@ -93,6 +93,24 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000) }
   }
 
+  test("IVF top-k: correct scores, full result shape, measurable recall") {
+    val brute = run("sim_topk_bruteforce").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val ivf = run("sim_ivf_topk").collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+    }
+    // every IVF hit that the brute-force top-10 also contains must carry
+    // the identical exact score (same quantized dot on both paths)
+    val overlap = ivf.flatMap { r =>
+      brute.get((r.getLong(0), r.getLong(2))).map(_ == r.getLong(3))
+    }
+    assert(overlap.nonEmpty, "IVF found none of the brute-force top-10 — recall 0")
+    assert(overlap.forall(identity))
+  }
+
   test("minhash LSH recalls every exact shingle-Jaccard pair") {
     val exact = run("dedup_shingle_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
