@@ -45,10 +45,18 @@ object EventStreams {
 
   /** File-source stream over an events parquet directory: the production
     * shape for replaying landed data as a stream. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.events(spark, dir).schema)
-      .parquet(s"$dir/events.parquet")
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // The streaming file source lists a DIRECTORY; the fixture is a single
+    // parquet file, so stream the dir filtered to it. The nanos ts arrives
+    // as long (nanosAsLong) — convert like Tables.events does.
+    val df = spark.readStream
+      .schema(Tables.table(spark, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
 
   /** writeStream wiring (micro-batch, the reference's S4 loop done right). */
   def startToMemory(agg: DataFrame, queryName: String): DataStreamWriter[Row] =

@@ -40,10 +40,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getString(1)).toSet == Set("click", "view"))
   }
 
-  test("file-source streaming reads the events fixture schema") {
+  test("file-source stream over the events fixture equals the batch result") {
     val stream = EventStreams.readEventStream(spark, sf0001)
     assert(stream.isStreaming)
-    assert(stream.schema.fieldNames.contains("event_type"))
+    val q = EventStreams.startToMemory(
+      EventStreams.streamingWindowedTypeCounts(stream), "file_win_test").start()
+    q.awaitTermination() // AvailableNow terminates after draining the files
+    val streamed = spark.table("file_win_test")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStreams.windowedTypeCounts(
+        graft.sources.Tables.events(spark, sf0001))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
   }
 
   test("json extraction pulls typed k") {
