@@ -64,6 +64,27 @@ object Cleaning {
     toLower(collapseWhitespace(keepAlphaWhitespace(
       removeWords(removeUsernames(removeUrls(removeEmojiTokens(c)))))))
 
+  /** The SINGLE DuckDB-SQL mirror of cleanText, used by every oracle that
+    * needs cleaned text (TextOps + Dedup share this constant so the mirrors
+    * cannot drift). Structure follows the Scala order exactly:
+    * F1 (whitespace-collapse on ASCII — the emoji-token drop is a no-op on
+    * the ASCII fixture and is unit-tested separately) → F2 urls → F3
+    * usernames → F4 covid words → F5 keep-alpha → F6 collapse+trim (AGAIN,
+    * because the removals create adjacent spaces) → F7 lower. */
+  val CleanTextSql: String = {
+    // built programmatically so the nesting is balanced by construction
+    def rr(inner: String, pat: String, rep: String) =
+      s"regexp_replace($inner, '$pat', '$rep', 'g')"
+    val f1 = rr("text", """\s+""", " ")      // F1 on ASCII = collapse
+    val f2 = rr(f1, """http\S+""", "")       // F2 urls
+    val f3 = rr(f2, """@\w+""", "")          // F3 usernames
+    val f4 = Seq("covid-19", "covid19", "covid_19", "covid")
+      .foldLeft(f3)((acc, w) => rr(acc, s"""(?i)\\b$w\\b""", "")) // F4
+    val f5 = rr(f4, "[^A-Za-z ]+", "")       // F5 keep alpha+space
+    val f6 = rr(f5, """\s+""", " ")          // F6 collapse again
+    s"lower(trim($f6))"                      // + trim, F7 lower
+  }
+
   /** The reference's custom stopword additions beyond the standard english
     * list: 11 domain words + 26 single letters + the empty token
     * (LDATopicModelingWithGibbs.py:36-41; SURVEY §7.5.4). */

@@ -54,12 +54,12 @@ object EmojiOps {
     (cp >= 0x2B00 && cp <= 0x2BFF) || (cp >= 0xFE00 && cp <= 0xFE0F) ||
     cp == 0x200D
 
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   def strip(in: UTF8String): UTF8String = {
     val s = in.toString
-    // Fast path: pure-ASCII strings can't contain emoji; only the
-    // whitespace-normalization side effect of split+join remains.
     val sb = new java.lang.StringBuilder(s.length)
-    val tokens = s.split("\\s+", -1)
+    val tokens = Whitespace.split(s, -1)
     var first = true
     var i = 0
     while (i < tokens.length) {

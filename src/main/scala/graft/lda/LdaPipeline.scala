@@ -68,6 +68,8 @@ object LdaPipeline {
         expr("array_position(theta, array_max(theta)) - 1").cast("int").as("topic"),
         round(array_max(col("theta")), 4).as("weight"))
       .orderBy(col("doc_id"))
+      .persist()
+    out.count() // materialize while `docs` is still cached, then release it
     docs.unpersist()
     out
   }

@@ -82,10 +82,15 @@ object BinaryOps {
     Q(
       "mm_frame_sample",
       (s, dir) => mediaTable(s, dir)
+        // byte_len = 0 guard: Spark's sequence(0, -1) DESCENDS ([0, -1])
+        // where DuckDB's generate_series(0, -1) is empty — emit an empty
+        // array explicitly so both engines produce zero rows.
         .select(col("doc_id"),
           posexplode(expr(
-            "transform(sequence(0, cast(ceil(byte_len / 16.0) as int) - 1)," +
-              " i -> ascii(substring(cast(payload as string), i * 16 + 1, 1)))")))
+            "CASE WHEN byte_len > 0 THEN " +
+              "transform(sequence(0, cast(ceil(byte_len / 16.0) as int) - 1)," +
+              " i -> ascii(substring(cast(payload as string), i * 16 + 1, 1))) " +
+              "ELSE array() END")))
         .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
           col("col").cast("long").as("frame_byte"))
         .orderBy(col("doc_id"), col("frame_idx")),

@@ -27,25 +27,12 @@ object Dedup {
 
   private def cleanCol: Column = Cleaning.cleanText(col("text"))
 
-  /** Shared SQL fragment: cleaned text (mirrors TextOps.cleanSql). */
-  private val cleanSql: String =
-    """lower(trim(regexp_replace(
-      |  regexp_replace(
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
-      |      'http\S+', '', 'g'), '@\w+', '', 'g'),
-      |    '(?i)\bcovid-19\b', '', 'g'), '(?i)\bcovid19\b', '', 'g'),
-      |    '(?i)\bcovid_19\b', '', 'g'), '(?i)\bcovid\b', '', 'g'),
-      |  '[^A-Za-z ]+', '', 'g')))""".stripMargin
+  /** Shared oracle mirror of the cleaning chain (see Cleaning.CleanTextSql). */
+  private val cleanSql: String = Cleaning.CleanTextSql
 
-  /** Deterministic 31-bit word hash usable in both engines: a weighted
-    * character-code sum mixed by a Knuth multiplier, mod a Mersenne prime.
-    * Weak as hashes go, but exact integer arithmetic everywhere. */
-  private def wordHashExpr(wordCol: String): String =
-    s"((aggregate(transform(sequence(1, length($wordCol)), " +
-      s"k -> cast(k as bigint) * ascii(substring($wordCol, k, 1))), " +
-      s"cast(0 as bigint), (a, x) -> a + x) * 2654435761) % 2147483647)"
-
+  /** DuckDB mirror of the native StrHash31 expression (graft.functions):
+    * weighted character-code sum × Knuth multiplier mod a Mersenne prime.
+    * Keep in lockstep with TokenOps.strHash31. */
   private def wordHashSql(wordCol: String): String =
     s"((list_sum(list_transform(range(1, len($wordCol) + 1), " +
       s"k -> k * ascii(substring($wordCol, k, 1)))) * 2654435761) % 2147483647)"

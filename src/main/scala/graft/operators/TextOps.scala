@@ -51,19 +51,9 @@ object TextOps {
   private def tokenStream(s: SparkSession, dir: String): DataFrame =
     docsWithTokens(s, dir).select(col("doc_id"), explode(col("w")).as("word"))
 
-  /** Shared oracle CTE: cleaned text per doc. The emoji-token pass (F1) is
-    * whitespace-collapse on pure-ASCII fixture text, so the SQL mirror uses
-    * the collapse; the Scala side keeps exact drop-the-token semantics
-    * (unit-tested separately on emoji-bearing strings). */
-  private val cleanSql: String =
-    """lower(trim(regexp_replace(
-      |  regexp_replace(
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
-      |      'http\S+', '', 'g'), '@\w+', '', 'g'),
-      |    '(?i)\bcovid-19\b', '', 'g'), '(?i)\bcovid19\b', '', 'g'),
-      |    '(?i)\bcovid_19\b', '', 'g'), '(?i)\bcovid\b', '', 'g'),
-      |  '[^A-Za-z ]+', '', 'g')))""".stripMargin
+  /** Shared oracle mirror of the cleaning chain (single source of truth in
+    * Cleaning.CleanTextSql so the text_* and dedup_* oracles cannot drift). */
+  private val cleanSql: String = Cleaning.CleanTextSql
 
   private val tokSql: String =
     s"""WITH cleaned AS (

@@ -25,16 +25,20 @@ object Tables {
   /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark 4
     * rejects unless spark.sql.legacy.parquet.nanosAsLong is set (it is, in
     * every session builder here). The long nanos (µs-aligned in the fixture)
-    * are converted back to a proper TimestampType column on read. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = table(spark, dir, "events")
+    * are converted back to a proper TimestampType column on read.
+    * INTEGER division is essential: `/` on longs promotes to double, and
+    * 2024-era nano epochs (~1.7e18) exceed 2^53, so double division puts
+    * ~1.6% of µs-aligned timestamps off by 1 µs vs engines that read the
+    * nanos exactly. */
+  def nanosLongToTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L)
-            .cast(org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    nanosLongToTs(table(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

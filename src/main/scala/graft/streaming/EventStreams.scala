@@ -49,13 +49,10 @@ object EventStreams {
     // The streaming file source lists a DIRECTORY; the fixture is a single
     // parquet file, so stream the dir filtered to it. The nanos ts arrives
     // as long (nanosAsLong) — convert like Tables.events does.
-    val df = spark.readStream
+    Tables.nanosLongToTs(spark.readStream
       .schema(Tables.table(spark, dir, "events").schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else df
+      .parquet(dir))
   }
 
   /** writeStream wiring (micro-batch, the reference's S4 loop done right). */

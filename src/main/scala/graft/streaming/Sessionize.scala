@@ -29,7 +29,11 @@ object Sessionize {
 
   val DefaultGapSec: Long = 1800L
 
-  private def micros(t: Timestamp): Long = t.getTime * 1000L
+  /** Full microsecond precision: getTime is ms-truncated, the sub-ms part
+    * lives in getNanos — dropping it would disagree with the SQL twin's
+    * unix_micros at exact-gap boundaries. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Group function: walks a user's events in time order, emitting every
     * closed session and carrying the open one in state. In batch mode each
