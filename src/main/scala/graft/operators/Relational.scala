@@ -241,6 +241,28 @@ object Relational {
              |GROUP BY ROLLUP (n_name)
              |ORDER BY n_name""".stripMargin)),
 
+    // ---- §2.10 map functions: construct, extract, inspect.
+    Q(
+      "rel_map_funcs",
+      (s, dir) => {
+        Tables.nation(s, dir)
+          .select(col("n_nationkey"),
+            map_from_arrays(
+              array(lit("name"), lit("region")),
+              array(col("n_name"), col("n_regionkey").cast("string"))).as("m"))
+          .select(col("n_nationkey"),
+            element_at(col("m"), "name").as("name_val"),
+            element_at(col("m"), "region").as("region_val"),
+            size(map_keys(col("m"))).cast("long").as("n_keys"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+             |  map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS name_val,
+             |  map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['region'][1] AS region_val,
+             |  CAST(cardinality(map(['name', 'region'],
+             |    [n_name, CAST(n_regionkey AS VARCHAR)])) AS BIGINT) AS n_keys
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // ---- §2.10 cube: all grouping-set combinations of two dimensions.
     Q(
       "rel_cube",
