@@ -241,6 +241,31 @@ object Relational {
              |GROUP BY ROLLUP (n_name)
              |ORDER BY n_name""".stripMargin)),
 
+    // ---- §2.10 percentiles: exact interpolated quantiles. Deterministic
+    // cross-engine because l_quantity is integer-valued, so the linear
+    // interpolation (1-f)·a + f·b happens on small exact doubles in both
+    // engines (Spark `percentile` and DuckDB `quantile_cont` share the
+    // definition).
+    Q(
+      "rel_percentiles",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.9)").as("p90"),
+            min(col("l_quantity")).as("min_q"),
+            max(col("l_quantity")).as("max_q"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.9) AS p90,
+             |  min(l_quantity) AS min_q,
+             |  max(l_quantity) AS max_q
+             |FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- §2.10 map functions: construct, extract, inspect.
     Q(
       "rel_map_funcs",

@@ -335,6 +335,58 @@ object TextOps {
               |SELECT array_to_string(list(s ORDER BY k), ',') AS global_len_hist
               |FROM sums""".stripMargin)),
 
+    // ---- The composed curation pipeline — what a training-data team runs:
+    // clean → token/quality stats → quality gate → exact-dedup keep-first →
+    // curated corpus. One declarative plan: the clean chain runs once in the
+    // scan projection, stats aggregate off the exploded stream, the dedup
+    // canonical is a window over the fingerprint. Every stage is an operator
+    // proven above; this query proves they compose.
+    Q(
+      "pipeline_curate",
+      (s, dir) => {
+        val rawTok = Tables.documents(s, dir).select(
+          col("doc_id"), Cleaning.cleanText(col("text")).as("clean"))
+          .select(col("doc_id"), col("clean"),
+            explode(split(col("clean"), " ")).as("t"))
+        val stats = rawTok.groupBy(col("doc_id"), col("clean"))
+          .agg(sum(when(col("t") =!= "", 1L).otherwise(0L)).as("n_tokens"),
+            sum(when(array_contains(swArray, col("t")), 1L).otherwise(0L)).as("n_stop"))
+          .withColumn("stop_bp",
+            when(col("n_tokens") > 0,
+              floor(lit(10000) * col("n_stop") / col("n_tokens"))).otherwise(0L)
+              .cast("long"))
+          .withColumn("doc_md5", md5(col("clean").cast("binary")))
+        val w = Window.partitionBy(col("doc_md5"))
+        stats
+          .withColumn("canonical_id", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("canonical_id") &&
+            col("n_tokens") >= 20 && col("stop_bp") <= 2000)
+          .select(col("doc_id"), col("n_tokens"), col("stop_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cleaned AS (
+              |  SELECT doc_id, $cleanSql AS clean FROM documents),
+              |stats AS (
+              |  SELECT doc_id, clean,
+              |    CAST(len(list_filter(string_split(clean, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_filter(string_split(clean, ' '),
+              |      t -> t IN ($swSqlList))) AS BIGINT) AS n_stop
+              |  FROM cleaned),
+              |scored AS (
+              |  SELECT doc_id, md5(clean) AS doc_md5, n_tokens,
+              |    CAST(CASE WHEN n_tokens > 0 THEN (10000 * n_stop) // n_tokens
+              |      ELSE 0 END AS BIGINT) AS stop_bp
+              |  FROM stats),
+              |canon AS (
+              |  SELECT doc_id, n_tokens, stop_bp,
+              |    min(doc_id) OVER (PARTITION BY doc_md5) AS canonical_id
+              |  FROM scored)
+              |SELECT doc_id, n_tokens, stop_bp
+              |FROM canon
+              |WHERE doc_id = canonical_id AND n_tokens >= 20 AND stop_bp <= 2000
+              |ORDER BY doc_id""".stripMargin),
+      headline = true),
+
     // ---- Fingerprinting: whole-doc md5 + MinHash-1 over word 3-gram
     // shingles (md5 is bit-identical across engines; min() over shingle
     // hashes is the k=1 MinHash signature — the scale path to MinHashLSH).
