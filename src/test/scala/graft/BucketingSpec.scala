@@ -44,6 +44,15 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx sketch within 10% of exact percentile") {
+    val r = Tables.lineitem(spark, sf0001)
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .collect().head
+    val (a, e) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - e) / e < 0.10)
+  }
+
   test("approx_count_distinct (HLL sketch) within 5% of exact") {
     val df = Tables.lineitem(spark, sf0001)
       .agg(approx_count_distinct(col("l_partkey")).as("approx"),

@@ -55,6 +55,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("append-mode watermark finalizes windows and drops late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // append mode only emits windows the watermark has closed
+    val agg = EventStreams.streamingWindowedTypeCounts(mem.toDF())
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_test").start()
+    mem.addData(ev(1, 1, "click", 1.0), ev(2, 5, "click", 1.0))
+    q.processAllAvailable()
+    // nothing emitted yet: the 00:00 window is still open
+    assert(spark.table("wm_test").count() == 0)
+    // an event 4 hours later moves the watermark past 00:00 + 2h
+    mem.addData(Ev(3, java.sql.Timestamp.valueOf("2024-01-01 04:00:00"), 0L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    val closed = spark.table("wm_test").collect()
+    assert(closed.length == 1 && closed.head.getLong(2) == 2L) // finalized window
+    // a LATE event for the closed 00:00 window must be dropped
+    mem.addData(ev(9, 30, "click", 1.0))
+    mem.addData(Ev(10, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 0L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("wm_test").collect()
+      .filter(_.getString(0) == "2024-01-01 00:00")
+    assert(after.length == 1 && after.head.getLong(2) == 2L,
+      "late event mutated a finalized window")
+  }
+
   test("json extraction pulls typed k") {
     val df = EventStreams.withJsonK(Seq(ev(7, 1, "click", 1.0)).toDF())
     assert(df.select(col("k")).collect().head.getLong(0) == 7L)
