@@ -153,7 +153,10 @@ object GibbsLda {
     GibbsModel(phi, nz, docs, vocab)
   }
 
-  /** The reference's output contract: top-N words per topic (py:196-203). */
+  /** The reference's output contract: top-N words per topic (py:196-203).
+    * Terms/weights flattened to space-joined strings — scalar columns, so the
+    * row is hashable by any comparator (same contract as
+    * [[LdaPipeline.topicReport]]). */
   def topicReport(spark: SparkSession, dir: String, vocabSize: Int,
       numTopics: Int, maxIter: Int = 10, topWords: Int = 20,
       seed: Long = 42L): DataFrame = {
@@ -162,8 +165,8 @@ object GibbsLda {
     val rows = m.phi.zipWithIndex.map { case (row, t) =>
       val top = row.zipWithIndex.sortBy { case (c, w) => (-c, w) }
         .take(topWords)
-      (t, top.map { case (_, w) => m.vocab(w) }.toSeq,
-        top.map(_._1).toSeq) // counts as weights
+      (t, top.map { case (_, w) => m.vocab(w) }.mkString(" "),
+        top.map(_._1).mkString(" ")) // counts as weights
     }
     m.docs.unpersist()
     spark.createDataset(rows.toSeq)

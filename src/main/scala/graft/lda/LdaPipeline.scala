@@ -76,8 +76,10 @@ object LdaPipeline {
 
   /** Fit CountVectorizer(top-V vocab) + LDA on the `documents` fixture and
     * return the reference's output contract (py:199-203): one row per topic,
-    * `topic INT, terms ARRAY<STRING>, weights ARRAY<DOUBLE>` for the top-20
-    * words per topic. */
+    * the top-20 words per topic. Terms and weights are emitted as space-joined
+    * scalar strings (`topic INT, terms STRING, weights STRING`) so the row is
+    * hashable by any downstream comparator — the reference likewise prints a
+    * flat word list per topic (py:199-203). */
   def topicReport(spark: SparkSession, dir: String, vocabSize: Int,
       numTopics: Int, maxIter: Int, topWords: Int = 20, seed: Long = 42L): DataFrame = {
     val docs = preprocess(Tables.documents(spark, dir)).persist()
@@ -103,8 +105,12 @@ object LdaPipeline {
     val vocabCol = array(vocab.map(lit): _*)
     model.describeTopics(topWords)
       .select(col("topic"),
-        transform(col("termIndices"), i => element_at(vocabCol, i + 1)).as("terms"),
-        col("termWeights").as("weights"))
+        array_join(
+          transform(col("termIndices"), i => element_at(vocabCol, i + 1)),
+          " ").as("terms"),
+        array_join(
+          transform(col("termWeights"), w => round(w, 6).cast("string")),
+          " ").as("weights"))
       .orderBy(col("topic"))
   }
 }

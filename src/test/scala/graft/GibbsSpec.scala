@@ -34,9 +34,9 @@ class GibbsSpec extends SparkSpec {
       numTopics = 3, maxIter = 2).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
     rows.foreach { r =>
-      val terms = r.getSeq[String](1)
+      val terms = r.getString(1).split(" ").toSeq
       assert(terms.size == 20 && terms.distinct.size == 20)
-      val w = r.getSeq[Long](2)
+      val w = r.getString(2).split(" ").map(_.toLong).toSeq
       assert(w == w.sorted.reverse) // counts non-increasing
     }
   }

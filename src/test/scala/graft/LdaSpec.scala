@@ -11,8 +11,8 @@ class LdaSpec extends SparkSpec {
       vocabSize = 200, numTopics = 3, maxIter = 5).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
     rows.foreach { r =>
-      val terms = r.getSeq[String](1)
-      val weights = r.getSeq[Double](2)
+      val terms = r.getString(1).split(" ").toSeq
+      val weights = r.getString(2).split(" ").map(_.toDouble).toSeq
       assert(terms.size == 20 && weights.size == 20)
       assert(terms.distinct.size == terms.size)
       assert(weights.forall(_ > 0))
