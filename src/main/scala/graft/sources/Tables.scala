@@ -31,11 +31,21 @@ object Tables {
     * ~1.6% of µs-aligned timestamps off by 1 µs vs engines that read the
     * nanos exactly. */
   def nanosLongToTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Spark 4.1.2 reads parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ and no
+        // longer honors nanosAsLong; with the session timezone pinned to UTC
+        // the NTZ wall clock IS the UTC instant, so this cast reproduces the
+        // long→timestamp_micros path bit-for-bit (fixture is µs-aligned).
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame =
     nanosLongToTs(table(spark, dir, "events"))
