@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   * each list) are kept in `runs`, and a query that throws is excluded from
   * the total and listed in `failed` instead of silently contributing its
   * time-to-failure (pre-r21 behavior).
+  *
+  * Timed action (also changed r21, guide §1.4): the noop sink
+  * (`write.format("noop")`) instead of `.count()` — count() lets the
+  * optimizer prune columns and whole subtrees (a projection-only query could
+  * time as little more than a row count), while the noop write computes
+  * every column of every row and discards it. Old-methodology (count-based)
+  * numbers are recorded in OPTIMIZATION_r21.md for comparison.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,7 +47,7 @@ object Bench {
         spark.sparkContext.setJobDescription(s"bench:${q.name}#$i")
         val t0 = System.nanoTime()
         val t = try {
-          q.run(spark, sfDir).count()
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
         // Queries may persist() intermediates for intra-query reuse. Drop

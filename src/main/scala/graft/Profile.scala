@@ -32,7 +32,7 @@ object Profile {
       val times = (1 to reps).map { i =>
         spark.sparkContext.setJobDescription(s"$n#$i")
         val t0 = System.nanoTime()
-        q.run(spark, sfDir).count()
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         // Same rationale as Bench: drop intra-query persists between reps so
         // every rep computes from parquet, not from the previous rep's cache.

@@ -40,10 +40,15 @@ object GibbsLda {
     * top-V vocab (count desc, word asc) → per-doc position list ordered by
     * token position (doc identity kept throughout, SURVEY §7.5.3). */
   private def encode(spark: SparkSession, dir: String, vocabSize: Int):
-      (Dataset[(Long, Array[Int])], Array[String]) = {
+      (Dataset[(Long, Array[Int])], Array[String], DataFrame) = {
     import spark.implicits._
+    // Persisted: the preprocessed tokens feed BOTH the vocabulary count and
+    // the encoding map — without the cache the clean+tokenize+stopword chain
+    // runs twice over the corpus (guide §2.4 / §5). The caller unpersists
+    // once the encoded DocStates are materialized.
     val docs = LdaPipeline.preprocess(Tables.documents(spark, dir))
       .select(col("doc_id"), col("tokens"))
+      .persist()
     val wc = docs.select(explode(col("tokens")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val vocab = wc.orderBy(desc("cnt"), asc("word")).limit(vocabSize)
@@ -53,7 +58,7 @@ object GibbsLda {
     val encoded = docs.as[(Long, Seq[String])].map { case (id, toks) =>
       (id, toks.iterator.flatMap(bc.value.get).toArray)
     }.filter(_._2.nonEmpty)
-    (encoded, vocab)
+    (encoded, vocab, docs)
   }
 
   private def countPhi(docs: Dataset[DocState], numTopics: Int, vocabSize: Int):
@@ -132,13 +137,14 @@ object GibbsLda {
   def fit(spark: SparkSession, dir: String, vocabSize: Int, numTopics: Int,
       maxIter: Int = 10, seed: Long = 42L): GibbsModel = {
     import spark.implicits._
-    val (encoded, vocab) = encode(spark, dir, vocabSize)
+    val (encoded, vocab, tokenCache) = encode(spark, dir, vocabSize)
     val v = vocab.length
     // M1: deterministic init, topic = slot index mod T (py:110-121)
     var docs = encoded.map { case (id, words) =>
       DocState(id, words, Array.tabulate(words.length)(_ % numTopics))
     }.persist()
     docs.count()
+    tokenCache.unpersist() // DocStates are materialized; the token cache is dead
     val alpha = 1.0 / numTopics
     val beta = 1.0 / numTopics
     var (phi, nz) = countPhi(docs, numTopics, v)

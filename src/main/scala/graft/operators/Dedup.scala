@@ -61,10 +61,16 @@ object Dedup {
     Q(
       "dedup_stats",
       (s, dir) => {
-        val words = filter(split(cleanCol, " "), t => t =!= "")
-        Tables.documents(s, dir)
+        // Persist the cleaned text: the three fingerprints below each
+        // reference it (CollapseProject would inline the 8-regex chain into
+        // all three, running it 3× per doc — guide §2.4 / §5).
+        val cleaned = Tables.documents(s, dir)
+          .select(cleanCol.as("clean"))
+          .persist()
+        val words = filter(split(col("clean"), " "), t => t =!= "")
+        cleaned
           .select(
-            md5(cleanCol.cast("binary")).as("h_exact"),
+            md5(col("clean").cast("binary")).as("h_exact"),
             md5(array_join(sort_array(words), " ").cast("binary")).as("h_bow"),
             md5(array_join(array_sort(array_distinct(words)), " ").cast("binary")).as("h_set"))
           .agg(count(lit(1)).as("n_docs"),

@@ -188,17 +188,24 @@ object Similarity {
       (s, dir) => {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
+        // Persisted: `e` feeds the KMeans fit AND the cell-assignment
+        // transform, and `assigned` feeds the bounded query collect AND the
+        // probe join — without the caches the scan+quantize chain runs ~3×
+        // (guide §2.4 / §5). Values and partitioning are unchanged, so the
+        // seeded fit is unchanged.
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"),
             qCol(col("embedding")).as("ql"))
           .withColumn("nrm", qDot(col("ql"), col("ql")))
           .withColumn("fv", array_to_vector(
             transform(col("embedding"), x => x.cast("double"))))
+          .persist()
         val km = new KMeans().setK(16).setSeed(42L)
           .setFeaturesCol("fv").setPredictionCol("cell")
         val model = km.fit(e.select(col("fv")))
         val assigned = model.transform(e)
           .select(col("vec_id"), col("ql"), col("nrm"), col("cell"))
+          .persist()
         val centers = model.clusterCenters // bounded: k × dim
         val queries = assigned.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("ql").as("qv"), col("nrm").as("qn"))

@@ -360,8 +360,15 @@ object TextOps {
           col("doc_id"), Cleaning.cleanText(col("text")).as("clean"))
           .select(col("doc_id"), col("clean"),
             explode(split(col("clean"), " ")).as("t"))
-        val stats = rawTok.groupBy(col("doc_id"), col("clean"))
-          .agg(sum(when(col("t") =!= "", 1L).otherwise(0L)).as("n_tokens"),
+        // Group on doc_id alone (it uniquely determines `clean`): the
+        // pre-r21 key (doc_id, clean) made the partial hash-aggregate hash
+        // and compare the FULL cleaned text once per token row, and shipped
+        // the text as part of the shuffle key. first(clean) is deterministic
+        // here — every row in a group carries the same value (guide §2.4:
+        // shuffle fewer bytes, cheaper group keys).
+        val stats = rawTok.groupBy(col("doc_id"))
+          .agg(first(col("clean")).as("clean"),
+            sum(when(col("t") =!= "", 1L).otherwise(0L)).as("n_tokens"),
             sum(when(array_contains(swArray, col("t")), 1L).otherwise(0L)).as("n_stop"))
           .withColumn("stop_bp",
             when(col("n_tokens") > 0,
@@ -405,10 +412,16 @@ object TextOps {
     Q(
       "text_fingerprint",
       (s, dir) => {
-        val w = filter(split(Cleaning.cleanText(col("text")), " "), t => t =!= "")
-        Tables.documents(s, dir)
+        // Persist the cleaned text: both `w` and `doc_md5` reference it, and
+        // CollapseProject would inline the 8-regex chain into each use,
+        // running it 2× per doc (guide §2.4 / §5).
+        val cleaned = Tables.documents(s, dir)
+          .select(col("doc_id"), Cleaning.cleanText(col("text")).as("clean"))
+          .persist()
+        val w = filter(split(col("clean"), " "), t => t =!= "")
+        cleaned
           .select(col("doc_id"), w.as("w"),
-            md5(Cleaning.cleanText(col("text")).cast("binary")).as("doc_md5"))
+            md5(col("clean").cast("binary")).as("doc_md5"))
           // ShingleSet is one native expression referencing w once — the
           // transform-over-sequence form re-evaluates w's defining chain
           // per element after projection collapse (see ShingleSet docs).
