@@ -27,6 +27,11 @@ object Dedup {
 
   private def cleanCol: Column = Cleaning.cleanText(col("text"))
 
+  /** documents scan fanned out to every core (guide §2.2: the single-row-
+    * group fixture plans as ONE scan task, serializing the regex chain). */
+  private def docsSrc(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+
   /** Shared oracle mirror of the cleaning chain (see Cleaning.CleanTextSql). */
   private val cleanSql: String = Cleaning.CleanTextSql
 
@@ -44,7 +49,7 @@ object Dedup {
       "dedup_exact",
       (s, dir) => {
         val w = Window.partitionBy(col("doc_md5"))
-        Tables.documents(s, dir)
+        docsSrc(s, dir)
           .select(col("doc_id"), md5(cleanCol.cast("binary")).as("doc_md5"))
           .withColumn("canonical_id", min(col("doc_id")).over(w))
           .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
@@ -64,7 +69,7 @@ object Dedup {
         // Persist the cleaned text: the three fingerprints below each
         // reference it (CollapseProject would inline the 8-regex chain into
         // all three, running it 3× per doc — guide §2.4 / §5).
-        val cleaned = Tables.documents(s, dir)
+        val cleaned = docsSrc(s, dir)
           .select(cleanCol.as("clean"))
           .persist()
         val words = filter(split(col("clean"), " "), t => t =!= "")
@@ -107,7 +112,7 @@ object Dedup {
         // Persisted: the clean-chain projection feeds both self-join sides
         // and the sizes table — without the cache the 8-regex chain runs 3×
         // per doc (guide §2.4 / §5).
-        val docs = Tables.documents(s, dir)
+        val docs = docsSrc(s, dir)
           .select(col("doc_id"), col("source"),
             array_distinct(filter(split(cleanCol, " "), t => t =!= "")).as("ws"))
           .persist()
@@ -158,7 +163,7 @@ object Dedup {
         // Persisted for the same reason as dedup_jaccard_pairs: clean+shingle
         // feeds both self-join sides and the sizes table (measured 5.2 s →
         // 3.7 s fresh at sf0.1 local[32]).
-        val docs = Tables.documents(s, dir)
+        val docs = docsSrc(s, dir)
           .select(col("doc_id"), col("source"),
             filter(split(cleanCol, " "), t => t =!= "").as("w"))
           .filter(size(col("w")) >= 3)
@@ -210,7 +215,7 @@ object Dedup {
     Q(
       "dedup_simhash",
       (s, dir) => {
-        val tok = Tables.documents(s, dir)
+        val tok = docsSrc(s, dir)
           .select(col("doc_id"), explode(filter(split(cleanCol, " "), t => t =!= "")).as("word"))
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
           .withColumn("wh", graft.functions.StrHash31(col("word")))
@@ -262,7 +267,7 @@ object Dedup {
         val P = 2147483647L
         // Persisted: the shingle sets feed the minhash signatures AND the
         // exact rerank (`sets`) — one clean+shingle pass instead of two.
-        val docs = Tables.documents(s, dir)
+        val docs = docsSrc(s, dir)
           .select(col("doc_id"),
             filter(split(cleanCol, " "), t => t =!= "").as("w"))
           .filter(size(col("w")) >= 3)

@@ -34,6 +34,19 @@ object Relational {
     * Never round(double, 2) a computed sum — Spark rounds ties HALF_UP and
     * DuckDB HALF_EVEN, and double summation is partition-order-dependent. */
   private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** lineitem fanned out to every core (guide §2.2): the single-row-group
+    * fixture plans as ONE scan task, so work fused into the scan runs on one
+    * core; fanOut is a no-op once the input has >= cores partitions
+    * (production layout). MEASURED per query (5-8 reps, sf0.1, local[32]) and
+    * applied ONLY where the per-row work recoups the round-robin shuffle:
+    * the pricing-summary decimal partial agg (~1.05 -> ~0.92 s) and the
+    * join-revenue broadcast probe (~1.65 -> ~1.35 s). Everywhere else the
+    * plain scan won or tied (e.g. rel_percentiles 0.40 plain vs 0.79 fanned,
+    * rel_distinct_agg 0.68 vs 1.40, events_window_agg 0.41 vs 0.90), so
+    * cheap-per-row queries keep the direct scan. */
+  private def liFan(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.lineitem(s, dir))
   private def asMoney(c: Column): Column = c.cast("double")
 
   val queries: Seq[Q] = Seq(
@@ -41,7 +54,7 @@ object Relational {
     Q(
       "rel_pricing_summary",
       (s, dir) => {
-        Tables.lineitem(s, dir)
+        liFan(s, dir)
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
@@ -99,7 +112,7 @@ object Relational {
       (s, dir) => {
         val c = Tables.customer(s, dir)
         val o = Tables.orders(s, dir)
-        val l = Tables.lineitem(s, dir)
+        val l = liFan(s, dir)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))

@@ -149,7 +149,14 @@ object Similarity {
     Q(
       "sim_ann_lsh",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
+        // Fanned out (guide §2.2, measured 0.97 -> 0.84 s): the interpreted
+        // 8-plane bucket expression is the heaviest per-row compute in the
+        // file and otherwise runs inside the single scan task. (fanOut
+        // measured NEUTRAL-to-slower on the other sim queries — codegen'd
+        // qDot is too cheap to recoup the shuffle — so they keep the direct
+        // scan; sim_ivf_topk must additionally keep its partitioning for the
+        // seeded KMeans.)
+        val e = Tables.fanOut(Tables.embeddings(s, dir))
           .select(col("vec_id"), qCol(col("embedding")).as("ql"))
           .withColumn("nrm", qDot(col("ql"), col("ql")))
           .withColumn("bucket", expr(bucketExpr("ql")).cast("long"))

@@ -44,8 +44,13 @@ object TextOps {
     filter(split(Cleaning.cleanText(col("text")), " "),
       t => !array_contains(swArray, t) && t =!= "")
 
+  /** documents scan fanned out to every core (guide §2.2: the single-row-
+    * group fixture plans as ONE scan task, serializing the regex chain). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), tokensCol.as("w"))
+    docs(s, dir).select(col("doc_id"), tokensCol.as("w"))
 
   /** doc_id, word — the exploded token stream (E2). */
   private def tokenStream(s: SparkSession, dir: String): DataFrame =
@@ -87,7 +92,7 @@ object TextOps {
     // ---- F1–F7: the composed cleaning chain (ExtractTwitterData.py:158-164).
     Q(
       "text_clean",
-      (s, dir) => Tables.documents(s, dir)
+      (s, dir) => docs(s, dir)
         .select(col("doc_id"), Cleaning.cleanText(col("text")).as("clean"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id, $cleanSql AS clean
@@ -173,7 +178,7 @@ object TextOps {
     Q(
       "text_quality",
       (s, dir) => {
-        val rawTok = Tables.documents(s, dir).select(
+        val rawTok = docs(s, dir).select(
           col("doc_id"), col("n_chars"),
           explode(split(Cleaning.cleanText(col("text")), " ")).as("t"))
         val nAll = sum(when(col("t") =!= "", 1L).otherwise(0L))
@@ -214,7 +219,7 @@ object TextOps {
     Q(
       "text_langid",
       (s, dir) => {
-        val rawTok = Tables.documents(s, dir).select(
+        val rawTok = docs(s, dir).select(
           col("doc_id"), col("lang"),
           explode(split(Cleaning.cleanText(col("text")), " ")).as("t"))
         val agg = rawTok.groupBy(col("doc_id"), col("lang"))
@@ -246,7 +251,7 @@ object TextOps {
     // (letter runs / digit runs / single other chars).
     Q(
       "text_token_count",
-      (s, dir) => Tables.documents(s, dir).select(
+      (s, dir) => docs(s, dir).select(
         col("doc_id"),
         size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
           .as("n_ws_tokens"),
@@ -356,7 +361,7 @@ object TextOps {
     Q(
       "pipeline_curate",
       (s, dir) => {
-        val rawTok = Tables.documents(s, dir).select(
+        val rawTok = docs(s, dir).select(
           col("doc_id"), Cleaning.cleanText(col("text")).as("clean"))
           .select(col("doc_id"), col("clean"),
             explode(split(col("clean"), " ")).as("t"))
@@ -415,7 +420,7 @@ object TextOps {
         // Persist the cleaned text: both `w` and `doc_md5` reference it, and
         // CollapseProject would inline the 8-regex chain into each use,
         // running it 2× per doc (guide §2.4 / §5).
-        val cleaned = Tables.documents(s, dir)
+        val cleaned = docs(s, dir)
           .select(col("doc_id"), Cleaning.cleanText(col("text")).as("clean"))
           .persist()
         val w = filter(split(col("clean"), " "), t => t =!= "")

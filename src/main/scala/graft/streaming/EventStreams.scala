@@ -67,6 +67,9 @@ object EventStreams {
     // ---- Tumbling windows (batch flavor of the shared transform).
     Q(
       "events_window_agg",
+      // fanOut measured 2x SLOWER here (0.90 vs 0.41 s, sf0.1 local[32]):
+      // the window bucketing + decimal agg is too cheap per row to recoup
+      // the round-robin shuffle — keep the direct scan.
       (s, dir) => windowedTypeCounts(Tables.events(s, dir))
         .orderBy(col("window_start"), col("event_type")),
       Some("""SELECT strftime(time_bucket(INTERVAL 1 hour, CAST(ts AS TIMESTAMP)),
