@@ -139,7 +139,15 @@ object GibbsLda {
     import spark.implicits._
     val (encoded, vocab, tokenCache) = encode(spark, dir, vocabSize)
     val v = vocab.length
-    // M1: deterministic init, topic = slot index mod T (py:110-121)
+    // M1: deterministic init, topic = slot index mod T (py:110-121).
+    // NOT fanned out, by measurement: the sampler is partitioning-independent
+    // by design (per-(doc, sweep) seeded RNG — repartitioning to 32 was
+    // proven bit-identical at sf0.001/0.01/0.1), but the per-sweep task +
+    // shuffle overhead of 32 partitions measured SLOWER than the single-
+    // partition sweep at sf0.1 (3.2 s plain vs 4.8 s fanned steady-state) —
+    // the sweep's integer sampling is too cheap per token to recoup it. At
+    // real scale the input arrives with ≥ cores partitions and the sweeps
+    // parallelize without any explicit repartition.
     var docs = encoded.map { case (id, words) =>
       DocState(id, words, Array.tabulate(words.length)(_ % numTopics))
     }.persist()

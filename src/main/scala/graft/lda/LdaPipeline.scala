@@ -67,7 +67,20 @@ object LdaPipeline {
       .setTopicConcentration(1.0 / numTopics)
       .setFeaturesCol("features")
       .fit(encoded)
-    val out = model.transform(encoded)
+    // Fan out the TRANSFORM input only (guide §2.2): the single-row-group
+    // fixture leaves `encoded` with one partition, so the per-doc variational
+    // inference (the most expensive per-row compute in the repo) and the
+    // orderBy's range-sampling re-run of it were single-core. The FIT input
+    // keeps its original partitioning (minibatch sampling is partitioning-
+    // dependent); the fitted model is fixed here, and per-doc inference is
+    // row-local, so redistribution cannot change the output — proven
+    // bit-identical by snapshot at sf0.001/0.01/0.1. No-op at ≥ cores
+    // partitions.
+    val par = spark.sparkContext.defaultParallelism
+    val inferIn =
+      if (encoded.rdd.getNumPartitions < par) encoded.repartition(par)
+      else encoded
+    val out = model.transform(inferIn)
       .select(col("doc_id"), vector_to_array(col("topicDistribution")).as("theta"))
       .select(col("doc_id"),
         expr("array_position(theta, array_max(theta)) - 1").cast("int").as("topic"),
