@@ -134,7 +134,8 @@ object TextOps {
         // the join probe side; persist it so the 8-regex cleaning chain runs
         // once per doc, not twice (guide §2.4 — the vocab's broadcast job
         // materializes the cache, the main job reads it back).
-        val toks = tokenStream(s, dir).persist()
+        val docsTok = docsWithTokens(s, dir).persist()
+        val toks = docsTok.select(col("doc_id"), explode(col("w")).as("word"))
         toks
           .join(broadcast(vocabFrom(toks).select(col("word"), col("pos"))), "word")
           .groupBy(col("doc_id"))
@@ -156,7 +157,8 @@ object TextOps {
       "text_vocab_coverage",
       (s, dir) => {
         // Same shared-token-stream persist as text_doc_term (guide §2.4).
-        val toks = tokenStream(s, dir).persist()
+        val docsTok = docsWithTokens(s, dir).persist()
+        val toks = docsTok.select(col("doc_id"), explode(col("w")).as("word"))
         val v = vocabFrom(toks).select(col("word"), col("pos"))
         toks
           .join(broadcast(v), Seq("word"), "left_outer")
